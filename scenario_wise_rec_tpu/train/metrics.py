@@ -1,0 +1,134 @@
+"""Evaluation metrics with sklearn-exact semantics.
+
+The reference scores with sklearn ``roc_auc_score`` + ``log_loss``
+(ctr_trainer.py:6,57,111,143-150). We re-implement both in numpy (rank-based
+AUC with average ranks for ties == sklearn's trapezoid ROC integral for binary
+labels) so evaluation needs no sklearn at runtime, and validate parity against
+sklearn in tests. A device-side (jnp) AUC is provided for on-TPU evaluation of
+large test sets without host round-trips.
+
+Also ports ``topk_metrics`` (basic/metric.py:11-94 — dead code in the
+reference, implemented for API completeness).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+def auc_score(y_true, y_score) -> float:
+    """Binary ROC-AUC via average ranks (ties handled like sklearn)."""
+    y_true = np.asarray(y_true, dtype=np.float64).ravel()
+    y_score = np.asarray(y_score, dtype=np.float64).ravel()
+    n_pos = float(np.sum(y_true == 1))
+    n_neg = float(len(y_true) - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            "Only one class present in y_true. ROC AUC score is not defined."
+        )
+    order = np.argsort(y_score, kind="mergesort")
+    ranks = np.empty(len(y_score), dtype=np.float64)
+    sorted_scores = y_score[order]
+    # average rank within tie groups
+    i = 0
+    n = len(y_score)
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    pos_rank_sum = float(np.sum(ranks[y_true == 1]))
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def log_loss_score(y_true, y_pred, eps: float = 1e-15) -> float:
+    """Binary log loss with sklearn's probability clipping."""
+    y_true = np.asarray(y_true, dtype=np.float64).ravel()
+    p = np.clip(np.asarray(y_pred, dtype=np.float64).ravel(), eps, 1 - eps)
+    return float(-np.mean(y_true * np.log(p) + (1 - y_true) * np.log(1 - p)))
+
+
+def auc_score_device(y_true, y_score):
+    """On-device AUC (jnp): average-rank formulation, O(n log n) sort.
+
+    Use for large eval sets to avoid host transfers; matches
+    :func:`auc_score` to float32 precision.
+    """
+    import jax.numpy as jnp
+
+    y_true = y_true.astype(jnp.float32).ravel()
+    y_score = y_score.astype(jnp.float32).ravel()
+    n = y_score.shape[0]
+    order = jnp.argsort(y_score, kind="stable")
+    s = y_score[order]
+    # rank of each sorted element with tie-averaging: for each element, the
+    # average of (first index, last index) of its tie group, 1-based.
+    idx = jnp.arange(n)
+    is_start = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    group_id = jnp.cumsum(is_start) - 1
+    first = jnp.full(n, n, idx.dtype).at[group_id].min(idx, mode="drop")
+    last = jnp.zeros(n, idx.dtype).at[group_id].max(idx, mode="drop")
+    avg_rank_sorted = 0.5 * (first[group_id] + last[group_id]) + 1.0
+    ranks = jnp.zeros(n, jnp.float32).at[order].set(avg_rank_sorted)
+    yt = y_true
+    n_pos = jnp.sum(yt)
+    n_neg = n - n_pos
+    pos_rank_sum = jnp.sum(ranks * yt)
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def topk_metrics(y_true, y_pred, topKs=(5,)):
+    """NDCG/MRR/Recall/Precision/Hit @ K (reference basic/metric.py:11-94).
+
+    ``y_true``/``y_pred``: dict ``{user_id: [item scores/ids...]}``.
+    """
+    assert len(y_true) == len(y_pred)
+    if not isinstance(topKs, (tuple, list)):
+        raise ValueError("topKs wrong, it should be tuple or list")
+
+    pred_array = []
+    true_array = []
+    for u in y_true.keys():
+        pred_array.append(y_pred[u])
+        true_array.append(y_true[u])
+
+    ndcg_result, mrr_result = [], []
+    hit_result, precision_result, recall_result = [], [], []
+    for idx in range(len(topKs)):
+        ndcgs = mrrs = hits = precisions = recalls = 0
+        k = topKs[idx]
+        for i in range(len(true_array)):
+            if len(true_array[i]) != 0:
+                mrr_tmp = ndcg_tmp = 0
+                hit_tmp = 0.0
+                pred_k = pred_array[i][:k]
+                for position, item in enumerate(pred_k):
+                    if item in true_array[i]:
+                        hit_tmp += 1.0
+                        mrr_tmp = max(mrr_tmp, 1.0 / (position + 1))
+                        ndcg_tmp += 1.0 / np.log2(position + 2)
+                hits += hit_tmp > 0
+                mrrs += mrr_tmp
+                ndcgs += ndcg_tmp
+                precisions += hit_tmp / len(pred_k)
+                recalls += hit_tmp / len(true_array[i])
+        n_users = len(true_array)
+        ndcg_result.append(round(ndcgs / n_users, 4))
+        mrr_result.append(round(mrrs / n_users, 4))
+        hit_result.append(round(hits / n_users, 4))
+        precision_result.append(round(precisions / n_users, 4))
+        recall_result.append(round(recalls / n_users, 4))
+
+    results = defaultdict(list)
+    for idx in range(len(topKs)):
+        results["NDCG"].append(f"NDCG@{topKs[idx]}: {ndcg_result[idx]:.4f}")
+        results["MRR"].append(f"MRR@{topKs[idx]}: {mrr_result[idx]:.4f}")
+        results["Recall"].append(f"Recall@{topKs[idx]}: {recall_result[idx]:.4f}")
+        results["Hit"].append(f"Hit@{topKs[idx]}: {hit_result[idx]:.4f}")
+        results["Precision"].append(
+            f"Precision@{topKs[idx]}: {precision_result[idx]:.4f}"
+        )
+    return results

@@ -1,0 +1,268 @@
+"""CTR trainer: jitted train/eval steps + the reference's benchmark protocol.
+
+Re-designs the reference trainer (trainers/ctr_trainer.py:10-165) around a
+single compiled XLA program per step:
+
+- ``train_step``: forward + BCE-on-probabilities + backward + torch-Adam
+  update, all fused under ``jax.jit``. Model state (BatchNorm running stats,
+  AdaSparse alpha, AdaptDHM centers, M3oE tau) is threaded explicitly.
+- Evaluation gathers probabilities and computes sklearn-parity AUC/logloss on
+  host (``evaluate``), plus the exact per-domain slicing protocol of
+  ``evaluate_multi_domain_loss`` (ctr_trainer.py:113-152) — the acceptance
+  metric of the whole benchmark.
+- Early stopping on val AUC with best-weights restore (ctr_trainer.py:88-93)
+  and a final timestamped checkpoint (ctr_trainer.py:94-97), with a true
+  resume path the reference lacks.
+
+Optional ``mesh`` enables data-parallel training: batches are sharded on the
+leading axis over the mesh's ``data`` axis; XLA inserts the gradient
+all-reduce (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import checkpoint as ckpt_lib
+from .callback import EarlyStopper
+from .loss import bce_loss
+from .metrics import auc_score, log_loss_score
+from .optim import adam
+
+
+class CTRTrainer:
+    """General single-task CTR trainer (reference ctr_trainer.py:10-60 API).
+
+    Args:
+        model: a model object exposing ``init(rng) -> (params, state)`` and
+            ``apply(params, state, x, train, rng) -> (probs, new_state)``.
+        data_set_type: dataset name used in checkpoint filenames.
+        optimizer_params: ``{"lr": .., "weight_decay": ..}`` (torch-Adam
+            semantics; default lr 1e-3, wd 1e-5 as ctr_trainer.py:50-52).
+        scheduler_fn/scheduler_params: optional epoch-level lr schedule
+            factory, e.g. ``optim.step_lr``. NOTE the reference never actually
+            instantiates its scheduler (scripts pass params but no fn,
+            SURVEY §7 parity ledger) so the default here is constant lr.
+        n_epoch / earlystop_patience / model_path: as reference.
+        device/gpus: accepted for API parity; placement is JAX's job.
+        mesh: optional ``jax.sharding.Mesh`` for data-parallel training.
+    """
+
+    def __init__(
+        self,
+        model,
+        data_set_type: str = "dataset",
+        optimizer_fn=None,
+        optimizer_params: Optional[dict] = None,
+        scheduler_fn=None,
+        scheduler_params: Optional[dict] = None,
+        n_epoch: int = 10,
+        earlystop_patience: int = 10,
+        device: str = "",
+        gpus=None,
+        model_path: str = "./",
+        seed: int = 0,
+        mesh=None,
+    ):
+        self.model = model
+        self.data_set_type = data_set_type
+        if optimizer_params is None:
+            optimizer_params = {"lr": 1e-3, "weight_decay": 1e-5}
+        schedule = None
+        self._epoch_schedule = None
+        if scheduler_fn is not None:
+            # scheduler_fn(**scheduler_params) -> epoch -> multiplier
+            self._epoch_schedule = scheduler_fn(**(scheduler_params or {}))
+        if optimizer_fn is None:
+            optimizer_fn = adam
+        self.optimizer = optimizer_fn(**optimizer_params, schedule=schedule) \
+            if schedule is not None else optimizer_fn(**optimizer_params)
+        self._base_lr = optimizer_params.get("lr", 1e-3)
+        self._opt_params = dict(optimizer_params)
+        self._opt_fn = optimizer_fn
+        self.n_epoch = n_epoch
+        self.early_stopper = EarlyStopper(patience=earlystop_patience)
+        self.model_path = model_path
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.rng, k_init = jax.random.split(self.rng)
+        self.params, self.state = model.init(k_init)
+        self.opt_state = self.optimizer.init(self.params)
+        self.epoch_i = 0
+
+        self._train_step = self._build_train_step(self.optimizer)
+        self._eval_step = self._build_eval_step()
+        self._shard = None
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch_fn, replicate
+
+            self._shard = shard_batch_fn(mesh)
+            self.params = replicate(mesh, self.params)
+            self.state = replicate(mesh, self.state)
+            self.opt_state = replicate(mesh, self.opt_state)
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self, optimizer):
+        model = self.model
+
+        @jax.jit
+        def step(params, opt_state, state, x, y, w, rng):
+            def loss_fn(p):
+                probs, new_state = model.apply(p, state, x, train=True, rng=rng)
+                return bce_loss(probs, y, w), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_state, loss
+
+        return step
+
+    def _build_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def step(params, state, x):
+            probs, _ = model.apply(params, state, x, train=False, rng=None)
+            return probs
+
+        return step
+
+    def _device_batch(self, x, y, w):
+        xb = {k: jnp.asarray(v) for k, v in x.items()}
+        yb = None if y is None else jnp.asarray(np.asarray(y, np.float32))
+        wb = jnp.asarray(w)
+        if self._shard is not None:
+            xb, yb, wb = self._shard(xb, yb, wb)
+        return xb, yb, wb
+
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(self, data_loader, log_interval: int = 10):
+        total_loss = 0.0
+        for i, (x, y, w) in enumerate(data_loader):
+            xb, yb, wb = self._device_batch(x, y, w)
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.opt_state, self.state, loss = self._train_step(
+                self.params, self.opt_state, self.state, xb, yb, wb, k
+            )
+            total_loss += float(loss)
+            if (i + 1) % log_interval == 0:
+                print(f"  step {i + 1}/{len(data_loader)} loss "
+                      f"{total_loss / log_interval:.5f}", flush=True)
+                total_loss = 0.0
+
+    def fit(self, train_dataloader, val_dataloader=None):
+        for epoch_i in range(self.epoch_i, self.n_epoch):
+            print("epoch:", epoch_i)
+            self.epoch_i = epoch_i
+            if self._epoch_schedule is not None:
+                # epoch-level StepLR: rebuild the constant-lr optimizer with
+                # the scheduled multiplier (cheap; models are small)
+                scale = self._epoch_schedule(epoch_i)
+                p = dict(self._opt_params)
+                p["lr"] = self._base_lr * float(scale)
+                self.optimizer = self._opt_fn(**p)
+                self._train_step = self._build_train_step(self.optimizer)
+            self.train_one_epoch(train_dataloader)
+            if val_dataloader:
+                auc, logloss = self.evaluate(self.model, val_dataloader)
+                print(f"epoch:{epoch_i} | val auc: {auc} | val logloss: {logloss}")
+                if self.early_stopper.stop_training(auc, (self.params, self.state)):
+                    print(f"validation: best auc: {self.early_stopper.best_auc}")
+                    self.params, self.state = self.early_stopper.best_weights
+                    break
+        # NOTE: like the reference, best weights are restored only on early
+        # stop; a natural end of the epoch loop keeps last-epoch weights
+        # (ctr_trainer.py:88-93).
+        time_now = time.strftime("%m_%d_%H_%M", time.localtime())
+        name = (
+            type(self.model).__name__ + "_" + self.data_set_type + "_" + time_now
+        )
+        self.save(os.path.join(self.model_path, name))
+
+    # ------------------------------------------------------------------
+
+    def _predict_loader(self, data_loader):
+        """Run the jitted eval step over a loader; returns (y, p, domain, w)."""
+        ys, ps, ds, ws = [], [], [], []
+        for x, y, w in data_loader:
+            xb, yb, wb = self._device_batch(x, y, w)
+            probs = self._eval_step(self.params, self.state, xb)
+            keep = np.asarray(w) > 0
+            ps.append(np.asarray(probs)[keep])
+            if y is not None:
+                ys.append(np.asarray(y)[keep])
+            if "domain_indicator" in x:
+                ds.append(np.asarray(x["domain_indicator"])[keep])
+            ws.append(np.asarray(w)[keep])
+        cat = lambda lst: np.concatenate(lst) if lst else np.array([])
+        return cat(ys), cat(ps), cat(ds), cat(ws)
+
+    def evaluate(self, model, data_loader, mode: str = "val"):
+        """Overall AUC + logloss (reference ctr_trainer.py:99-111)."""
+        y, p, _, _ = self._predict_loader(data_loader)
+        return auc_score(y, p), log_loss_score(y, p)
+
+    def evaluate_multi_domain_loss(self, model, data_loader, domain_num: int):
+        """Per-domain + overall AUC/logloss (reference ctr_trainer.py:113-152).
+
+        Returns ``(domain_logloss[D], domain_auc[D], total_logloss,
+        total_auc)`` with ``None`` for empty domains, exactly as reference.
+        """
+        y, p, d, _ = self._predict_loader(data_loader)
+        domain_logloss_list, domain_auc_list = [], []
+        for dom in range(domain_num):
+            m = d == dom
+            if m.any():
+                domain_logloss_list.append(log_loss_score(y[m], p[m]))
+                domain_auc_list.append(auc_score(y[m], p[m]))
+            else:
+                domain_logloss_list.append(None)
+                domain_auc_list.append(None)
+        total_logloss = log_loss_score(y, p) if len(p) else None
+        total_auc = auc_score(y, p) if len(p) else None
+        return domain_logloss_list, domain_auc_list, total_logloss, total_auc
+
+    def predict(self, model, data_loader):
+        _, p, _, _ = self._predict_loader(data_loader)
+        return list(p)
+
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        ckpt_lib.save(
+            path,
+            {"params": self.params, "state": self.state,
+             "opt_state": self.opt_state},
+            metadata={
+                "epoch": self.epoch_i,
+                "best_auc": self.early_stopper.best_auc,
+                "model": type(self.model).__name__,
+            },
+        )
+
+    def load(self, path: str):
+        tree, meta = ckpt_lib.load(
+            path,
+            {"params": self.params, "state": self.state,
+             "opt_state": self.opt_state},
+        )
+        self.params = tree["params"]
+        self.state = tree["state"]
+        self.opt_state = tree["opt_state"]
+        self.epoch_i = int(meta.get("epoch", 0))
+        self.early_stopper.best_auc = float(meta.get("best_auc", 0.0))
+        return meta

@@ -1,0 +1,173 @@
+"""Ali-CCP multi-domain CTR run script.
+
+Mirrors the reference CLI surface (scripts/run_ali_ccp_ctr_ranking_multi_
+domain.py:118-204): same flags, same 3-loader-variant data handling, same
+hard-coded per-model hyperparameters, same result CSV.
+
+Usage: python run_ali_ccp.py --model_name mmoe [--device tpu]
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pandas as pd
+
+from scenario_wise_rec_tpu.configs import build_model
+from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+from scenario_wise_rec_tpu.data import DataGenerator, reduce_mem_usage
+from scenario_wise_rec_tpu.train import CTRTrainer
+
+DENSE_COLS = ["D109_14", "D110_14", "D127_14", "D150_14", "D508", "D509",
+              "D702", "D853"]
+
+
+def _load(data_path):
+    df_train = reduce_mem_usage(pd.read_csv(data_path + "/ali_ccp_train_sample.csv"))
+    df_val = reduce_mem_usage(pd.read_csv(data_path + "/ali_ccp_val_sample.csv"))
+    df_test = reduce_mem_usage(pd.read_csv(data_path + "/ali_ccp_test_sample.csv"))
+    print("train : val : test = %d %d %d" % (len(df_train), len(df_val), len(df_test)))
+    train_idx, val_idx = len(df_train), len(df_train) + len(df_val)
+    data = pd.concat([df_train, df_val, df_test], axis=0)
+    data["domain_indicator"] = data["301"].map({1: 0, 2: 1, 3: 2})
+    return data, train_idx, val_idx
+
+
+def get_ali_ccp_data_dict(data_path):
+    """Default loader (reference run_ali_ccp…py:11-34)."""
+    data, train_idx, val_idx = _load(data_path)
+    col_names = data.columns.values.tolist()
+    sparse_cols = [c for c in col_names if c not in DENSE_COLS
+                   and c not in ["click", "purchase", "domain_indicator"]]
+    print("sparse cols:%d dense cols:%d" % (len(sparse_cols), len(DENSE_COLS)))
+    dense_feas = [DenseFeature(c) for c in DENSE_COLS]
+    sparse_feas = [SparseFeature(c, vocab_size=data[c].max() + 1, embed_dim=16)
+                   for c in sparse_cols]
+    y = data["click"]
+    x = data.drop(columns=["click"])
+    return dict(
+        dense_feas=dense_feas, sparse_feas=sparse_feas, domain_num=3,
+        x_train=x[:train_idx], y_train=y[:train_idx],
+        x_val=x[train_idx:val_idx], y_val=y[train_idx:val_idx],
+        x_test=x[val_idx:], y_test=y[val_idx:],
+    )
+
+
+def get_ali_ccp_data_dict_scenario(data_path):
+    """adasparse/m2m/adaptdhm/epnet loader: scenario feature = embedded
+    domain_indicator, raw ``301`` deleted (reference run_ali_ccp…py:37-74)."""
+    data, train_idx, val_idx = _load(data_path)
+    col_names = data.columns.values.tolist()
+    scenario_cols = ["domain_indicator"]
+    data = data.drop(columns=["301"])
+    sparse_cols = [c for c in col_names if c not in DENSE_COLS
+                   and c not in ["click", "purchase", "domain_indicator", "301"]]
+    print("scenario_cols:%d sparse cols:%d dense cols:%d"
+          % (len(scenario_cols), len(sparse_cols), len(DENSE_COLS)))
+    dense_feas = [DenseFeature(c) for c in DENSE_COLS]
+    sparse_feas = [SparseFeature(c, vocab_size=data[c].max() + 1, embed_dim=16)
+                   for c in sparse_cols]
+    scenario_feas = [SparseFeature(c, vocab_size=data[c].max() + 1, embed_dim=16)
+                     for c in scenario_cols]
+    y = data["click"]
+    x = data.drop(columns=["click"])
+    return dict(
+        dense_feas=dense_feas, sparse_feas=sparse_feas,
+        scenario_feas=scenario_feas, domain_num=3,
+        x_train=x[:train_idx], y_train=y[:train_idx],
+        x_val=x[train_idx:val_idx], y_val=y[train_idx:val_idx],
+        x_test=x[val_idx:], y_test=y[val_idx:],
+    )
+
+
+def get_ali_ccp_data_dict_ppnet(data_path):
+    """ppnet loader: id features 101/205 split out (reference :76-115)."""
+    data, train_idx, val_idx = _load(data_path)
+    col_names = data.columns.values.tolist()
+    id_cols = ["101", "205"]
+    scenario_cols = ["domain_indicator"]
+    data = data.drop(columns=["301"])
+    sparse_cols = [c for c in col_names if c not in DENSE_COLS and c not in id_cols
+                   and c not in ["click", "purchase", "domain_indicator", "301"]]
+    dense_feas = [DenseFeature(c) for c in DENSE_COLS]
+    sparse_feas = [SparseFeature(c, vocab_size=data[c].max() + 1, embed_dim=16)
+                   for c in sparse_cols]
+    scenario_feas = [SparseFeature(c, vocab_size=data[c].max() + 1, embed_dim=16)
+                     for c in scenario_cols]
+    id_feas = [SparseFeature(c, vocab_size=data[c].max() + 1, embed_dim=16)
+               for c in id_cols]
+    y = data["click"]
+    x = data.drop(columns=["click"])
+    return dict(
+        dense_feas=dense_feas, sparse_feas=sparse_feas,
+        scenario_feas=scenario_feas, id_feas=id_feas, domain_num=3,
+        x_train=x[:train_idx], y_train=y[:train_idx],
+        x_val=x[train_idx:val_idx], y_val=y[train_idx:val_idx],
+        x_test=x[val_idx:], y_test=y[val_idx:],
+    )
+
+
+def main(dataset_path, model_name, epoch, learning_rate, batch_size,
+         weight_decay, device, save_dir, seed):
+    dataset_name = "Aliccp"
+    if model_name in ("adasparse", "m2m", "adaptdhm", "epnet"):
+        d = get_ali_ccp_data_dict_scenario(dataset_path)
+    elif model_name == "ppnet":
+        d = get_ali_ccp_data_dict_ppnet(dataset_path)
+    else:
+        d = get_ali_ccp_data_dict(dataset_path)
+
+    dg = DataGenerator(d["x_train"], d["y_train"])
+    train_dl, val_dl, test_dl = dg.generate_dataloader(
+        x_val=d["x_val"], y_val=d["y_val"], x_test=d["x_test"],
+        y_test=d["y_test"], batch_size=batch_size, seed=seed,
+    )
+    model = build_model("ali_ccp", model_name, d)
+    domain_num = d["domain_num"]
+    trainer = CTRTrainer(
+        model, dataset_name,
+        optimizer_params={"lr": learning_rate, "weight_decay": weight_decay},
+        n_epoch=epoch, earlystop_patience=5, device=device,
+        model_path=save_dir, seed=seed,
+        scheduler_params={"step_size": 4, "gamma": 0.95},
+    )
+    trainer.fit(train_dl, val_dl)
+    domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
+        trainer.model, test_dl, domain_num
+    )
+    print(f"test auc: {auc} | test logloss: {logloss}")
+    for dom in range(domain_num):
+        print(f"test domain {dom} auc: {domain_auc[dom]} | "
+              f"test domain {dom} logloss: {domain_logloss[dom]}")
+
+    out = os.path.join(save_dir, model_name + "_" + dataset_name + "_" + str(seed) + ".csv")
+    with open(out, "w", newline="") as f:
+        writer = csv.writer(f)
+        header = ["model", "seed", "auc", "log"]
+        row = [model_name, str(seed), auc, logloss]
+        for dom in range(domain_num):
+            header += [f"auc{dom}", f"log{dom}"]
+            row += [domain_auc[dom], domain_logloss[dom]]
+        writer.writerow(header)
+        writer.writerow(row)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_path", default="/root/reference/scripts/data/ali-ccp")
+    parser.add_argument("--model_name", default="star")
+    parser.add_argument("--epoch", type=int, default=1)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--batch_size", type=int, default=4096)
+    parser.add_argument("--weight_decay", type=float, default=1e-5)
+    parser.add_argument("--device", default="")
+    parser.add_argument("--save_dir", default="./")
+    parser.add_argument("--seed", type=int, default=2022)
+    args = parser.parse_args()
+    main(args.dataset_path, args.model_name, args.epoch, args.learning_rate,
+         args.batch_size, args.weight_decay, args.device, args.save_dir,
+         args.seed)
