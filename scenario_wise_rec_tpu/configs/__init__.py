@@ -106,20 +106,20 @@ def _movielens(model_name, d):
     if m in ("sharedbottom", "sharebottom"):
         return _get("sharedbottom")(dense + sparse, D,
                                     bottom_params={"dims": [128]},
-                                    tower_params={"dims": [64, 32]})
+                                    tower_params={"dims": [8]})
     if m == "mmoe":
         return _get("mmoe")(dense + sparse, D, n_expert=D,
-                            expert_params={"dims": [64, 32]},
-                            tower_params={"dims": [16]})
+                            expert_params={"dims": [16]},
+                            tower_params={"dims": [8]})
     if m == "ple":
         return _get("ple")(dense + sparse, D, n_level=1, n_expert_specific=2,
-                           n_expert_shared=1, expert_params={"dims": [64, 32]},
-                           tower_params={"dims": [16]})
+                           n_expert_shared=1, expert_params={"dims": [16]},
+                           tower_params={"dims": [8]})
     if m == "adasparse":
         return _get("adasparse")(sce_features=sce, agn_features=sparse,
                                  form="Fusion", epsilon=1e-2, alpha=1.0,
                                  delta_alpha=1e-4,
-                                 mlp_params={"dims": [128, 64, 32],
+                                 mlp_params={"dims": [32, 32],
                                              "dropout": 0.2, "activation": "relu"})
     if m == "sarnet":
         return _get("sarnet")(sparse, D, domain_shared_expert_num=8,
@@ -128,7 +128,7 @@ def _movielens(model_name, d):
         return _get("m2m")(sparse + sce, sce, D, num_experts=4,
                            expert_output_size=16)
     if m == "adaptdhm":
-        return _get("adaptdhm")(features=sparse + sce, fcn_dims=[128, 64, 32],
+        return _get("adaptdhm")(features=sparse + sce, fcn_dims=[64, 64],
                                 cluster_num=3, beta=0.9)
     if m == "epnet":
         return _get("epnet")(sce_features=sce, agn_features=sparse + dense,
@@ -137,23 +137,100 @@ def _movielens(model_name, d):
         return _get("ppnet")(id_features=ids, agn_features=sparse + dense + sce,
                              domain_num=D, fcn_dims=[128, 64, 32])
     if m == "m3oe":
-        return _get("m3oe")(features=sparse, domain_num=D,
-                            fcn_dims=[64, 32, 32, 16], expert_num=4,
+        return _get("m3oe")(features=dense + sparse, domain_num=D,
+                            fcn_dims=[128, 64, 64, 32], expert_num=4,
                             exp_d=1, exp_t=1, bal_d=1, bal_t=1)
     if m == "hamur":
-        return _get("hamur_small")(sparse, domain_num=D, fcn_dims=[64, 32],
-                                   hyper_dims=[64], k=35)
+        return _get("hamur_small")(dense + sparse, domain_num=D,
+                                   fcn_dims=[256, 128], hyper_dims=[64], k=35)
     raise KeyError(f"unknown model '{model_name}' for movielens")
 
 
-# --------------------------------------------------------------------------
-# KuaiRand / Amazon / Douban / MIND ladders filled in with their scripts.
-# --------------------------------------------------------------------------
+def _small_ladder(dataset, mmoe_dims, ple_dims, sb_tower, adasparse_dims,
+                  fcn3=[128, 64, 32]):
+    """KuaiRand/Amazon/Douban/MIND share a ladder shape with per-dataset dims
+    (run_kuairand…py:128-152, run_amazon…py:130-153, run_douban…py:107-132,
+    run_mind…py:99-122)."""
+
+    def ladder(model_name, d):
+        D = d["domain_num"]
+        dense, sparse = d.get("dense_feas", []), d.get("sparse_feas", [])
+        sce, ids = d.get("scenario_feas", []), d.get("id_feas", [])
+        m = model_name.lower()
+        if m == "star":
+            return _get("star")(dense + sparse, D, fcn_dims=fcn3, aux_dims=[32])
+        if m in ("sharedbottom", "sharebottom"):
+            return _get("sharedbottom")(dense + sparse, D,
+                                        bottom_params={"dims": [128]},
+                                        tower_params={"dims": sb_tower})
+        if m == "mmoe":
+            return _get("mmoe")(dense + sparse, D, n_expert=D,
+                                expert_params={"dims": mmoe_dims},
+                                tower_params={"dims": [16] if mmoe_dims == [32]
+                                              else [8]})
+        if m == "ple":
+            return _get("ple")(dense + sparse, D, n_level=1,
+                               n_expert_specific=2, n_expert_shared=1,
+                               expert_params={"dims": ple_dims},
+                               tower_params={"dims": [16] if ple_dims == [64, 32]
+                                             else [8]})
+        if m == "adasparse":
+            return _get("adasparse")(sce_features=sce, agn_features=sparse,
+                                     form="Fusion", epsilon=1e-2, alpha=1.0,
+                                     delta_alpha=1e-4,
+                                     mlp_params={"dims": adasparse_dims,
+                                                 "dropout": 0.2,
+                                                 "activation": "relu"})
+        if m == "sarnet":
+            return _get("sarnet")(sparse, D, domain_shared_expert_num=8,
+                                  domain_specific_expert_num=2)
+        if m == "m2m":
+            return _get("m2m")(sparse + sce, sce, D, num_experts=4,
+                               expert_output_size=16)
+        if m == "adaptdhm":
+            return _get("adaptdhm")(features=sparse + sce, fcn_dims=[64, 64],
+                                    cluster_num=3, beta=0.9)
+        if m == "epnet":
+            return _get("epnet")(sce_features=sce, agn_features=sparse + dense,
+                                 fcn_dims=[128, 64, 32])
+        if m == "ppnet":
+            return _get("ppnet")(id_features=ids,
+                                 agn_features=sparse + dense + sce,
+                                 domain_num=D, fcn_dims=[128, 64, 32])
+        if m == "m3oe":
+            return _get("m3oe")(features=dense + sparse, domain_num=D,
+                                fcn_dims=[128, 64, 64, 32], expert_num=4,
+                                exp_d=1, exp_t=1, bal_d=1, bal_t=1)
+        if m == "hamur":
+            return _get("hamur_small")(dense + sparse, domain_num=D,
+                                       fcn_dims=[256, 128], hyper_dims=[64],
+                                       k=35)
+        raise KeyError(f"unknown model '{model_name}' for {dataset}")
+
+    return ladder
+
+
+# KuaiRand/MIND: MMOE [32]/t16, PLE [64,32]/t16, SharedBottom tower [64,32]
+# Amazon/Douban: MMOE [16]/t8,  PLE [16]/t8,     SharedBottom tower [8]
+_kuairand = _small_ladder("kuairand", mmoe_dims=[32], ple_dims=[64, 32],
+                          sb_tower=[64, 32], adasparse_dims=[128, 64, 32])
+_mind = _small_ladder("mind", mmoe_dims=[32], ple_dims=[64, 32],
+                      sb_tower=[64, 32], adasparse_dims=[128, 64, 32])
+_amazon = _small_ladder("amazon", mmoe_dims=[16], ple_dims=[16],
+                        sb_tower=[8], adasparse_dims=[32, 32])
+_douban = _small_ladder("douban", mmoe_dims=[16], ple_dims=[16],
+                        sb_tower=[8], adasparse_dims=[32, 32])
+
 
 _LADDERS = {
     "ali_ccp": _ali_ccp,
     "aliccp": _ali_ccp,
     "movielens": _movielens,
+    "kuairand": _kuairand,
+    "amazon": _amazon,
+    "amazon_5_core": _amazon,
+    "douban": _douban,
+    "mind": _mind,
 }
 
 

@@ -297,6 +297,25 @@ def stacked_init(init_fn, rng, n: int):
     return jax.vmap(init_fn)(keys)
 
 
+def stacked_batchnorm_init(dim: int, n: int):
+    """n independent BatchNorm1d's as arrays with leading axis n."""
+    params = {
+        "gamma": jnp.ones((n, dim), jnp.float32),
+        "beta": jnp.zeros((n, dim), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((n, dim), jnp.float32),
+        "var": jnp.ones((n, dim), jnp.float32),
+    }
+    return params, state
+
+
+def stacked_batchnorm_apply(params, state, x, train: bool):
+    """vmapped BatchNorm over leading axis: x is [n, B, dim]."""
+    fn = lambda p, s, xi: batchnorm_apply(p, s, xi, train)
+    return jax.vmap(fn)(params, state, x)
+
+
 def stacked_mlp_init(mlp: MLP, rng, n: int):
     keys = jax.random.split(rng, n)
     return jax.vmap(mlp.init)(keys)

@@ -1,0 +1,47 @@
+"""Sharding rules: map model pytrees to PartitionSpecs on the (data, embed)
+mesh.
+
+The distribution design (SURVEY §2.4): the dense expert/gate/tower stacks are
+small (KB-MB) and stay **replicated**; the batch is sharded over ``data``
+(DP — XLA all-reduces gradients); the packed embedding mega-table — the only
+component that actually scales (Ali-CCP vocabs reach ~467k rows x 23 features)
+— is **row-sharded** over the ``embed`` axis. Lookups on the row-sharded
+table are partitioned by XLA's SPMD pass into shard-local gathers + cross-
+shard collectives; no hand-written transport.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree: packed embedding tables row-sharded on 'embed',
+    everything else replicated."""
+
+    def spec_for(path, leaf):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "packed" in keys and leaf.ndim == 2:
+            return P("embed", None)
+        if "tables" in keys and leaf.ndim == 2:
+            return P("embed", None)
+        return P()
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [spec_for(p, l) for p, l in flat]
+    )
+
+
+def place_params(mesh: Mesh, params):
+    """device_put params according to :func:`param_specs`."""
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, specs,
+    )
+
+
+def batch_spec() -> P:
+    return P("data")

@@ -62,7 +62,7 @@ def auc_score_device(y_true, y_score):
     y_true = y_true.astype(jnp.float32).ravel()
     y_score = y_score.astype(jnp.float32).ravel()
     n = y_score.shape[0]
-    order = jnp.argsort(y_score, kind="stable")
+    order = jnp.argsort(y_score, stable=True)
     s = y_score[order]
     # rank of each sorted element with tie-averaging: for each element, the
     # average of (first index, last index) of its tie group, 1-based.

@@ -95,7 +95,9 @@ class CTRTrainer:
         self.rng = jax.random.PRNGKey(seed)
 
         self.rng, k_init = jax.random.split(self.rng)
-        self.params, self.state = model.init(k_init)
+        # jit the init: eager op-by-op dispatch is orders slower than one
+        # compiled program, even for parameter initialization
+        self.params, self.state = jax.jit(model.init)(k_init)
         self.opt_state = self.optimizer.init(self.params)
         self.epoch_i = 0
 

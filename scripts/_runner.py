@@ -1,0 +1,87 @@
+"""Shared run-script skeleton: trainer setup, fit, per-domain eval, CSV.
+
+Factors out the tail every reference script repeats (e.g.
+run_kuairand…py:151-169): CTRTrainer construction with per-dataset
+early-stop/scheduler settings, fit, ``evaluate_multi_domain_loss``, and the
+``{model}_{dataset}_{seed}.csv`` artifact with per-domain columns.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from scenario_wise_rec_tpu.configs import build_model  # noqa: E402
+from scenario_wise_rec_tpu.data import DataGenerator  # noqa: E402
+from scenario_wise_rec_tpu.train import CTRTrainer  # noqa: E402
+
+
+def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
+        epoch: int, learning_rate: float, batch_size: int, weight_decay: float,
+        device: str, save_dir: str, seed: int, earlystop_patience: int,
+        scheduler_params: dict, split_ratio=None):
+    """Train + evaluate one model; returns (auc, logloss, per-domain lists)."""
+    dg = DataGenerator(data["x_train"], data["y_train"])
+    if split_ratio is not None:
+        train_dl, val_dl, test_dl = dg.generate_dataloader(
+            split_ratio=split_ratio, batch_size=batch_size, seed=seed
+        )
+    else:
+        train_dl, val_dl, test_dl = dg.generate_dataloader(
+            x_val=data["x_val"], y_val=data["y_val"], x_test=data["x_test"],
+            y_test=data["y_test"], batch_size=batch_size, seed=seed,
+        )
+    model = build_model(dataset_key, model_name, data)
+    domain_num = data["domain_num"]
+    trainer = CTRTrainer(
+        model, dataset_name,
+        optimizer_params={"lr": learning_rate, "weight_decay": weight_decay},
+        n_epoch=epoch, earlystop_patience=earlystop_patience, device=device,
+        model_path=save_dir, seed=seed, scheduler_params=scheduler_params,
+    )
+    trainer.fit(train_dl, val_dl)
+    domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
+        trainer.model, test_dl, domain_num
+    )
+    print(f"test auc: {auc} | test logloss: {logloss}")
+    for d in range(domain_num):
+        print(f"test domain {d} auc: {domain_auc[d]} | "
+              f"test domain {d} logloss: {domain_logloss[d]}")
+
+    os.makedirs(save_dir, exist_ok=True)
+    out = os.path.join(save_dir,
+                       model_name + "_" + dataset_name + "_" + str(seed) + ".csv")
+    with open(out, "w", newline="") as f:
+        writer = csv.writer(f)
+        header = ["model", "seed", "auc", "log"]
+        row = [model_name, str(seed), auc, logloss]
+        for d in range(domain_num):
+            header += [f"auc{d}", f"log{d}"]
+            row += [domain_auc[d], domain_logloss[d]]
+        writer.writerow(header)
+        writer.writerow(row)
+    print("wrote", out)
+    return auc, logloss, domain_auc, domain_logloss
+
+
+def standard_argparser(default_path: str):
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_path", default=default_path)
+    parser.add_argument("--model_name", default="star")
+    parser.add_argument("--epoch", type=int, default=1)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--batch_size", type=int, default=4096)
+    parser.add_argument("--weight_decay", type=float, default=1e-5)
+    parser.add_argument("--device", default="")
+    parser.add_argument("--save_dir", default="./")
+    parser.add_argument("--seed", type=int, default=2022)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use a small synthetic dataset with the right "
+                             "schema (for datasets whose raw files are not "
+                             "bundled)")
+    return parser

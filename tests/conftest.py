@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The image's sitecustomize registers the axon TPU plugin and overrides
+# jax_platforms after the env var is read — force CPU via config (before any
+# backend initialization) so tests run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,120 @@
+"""Metrics parity vs sklearn; EarlyStopper semantics; data pipeline."""
+
+import numpy as np
+import pytest
+
+from scenario_wise_rec_tpu.data import BatchIterable, ColumnarDataset, DataGenerator
+from scenario_wise_rec_tpu.train import EarlyStopper, auc_score, log_loss_score
+from scenario_wise_rec_tpu.train.metrics import auc_score_device, topk_metrics
+
+
+# ---------------------------------------------------------------- metrics --
+
+
+def test_auc_matches_sklearn(np_rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    for n in (10, 101, 1000):
+        y = np_rng.integers(0, 2, n)
+        if y.sum() in (0, n):
+            y[0] = 1 - y[0]
+        p = np_rng.random(n)
+        # inject ties
+        p[: n // 3] = np.round(p[: n // 3], 1)
+        assert auc_score(y, p) == pytest.approx(
+            sk.roc_auc_score(y, p), abs=1e-12
+        )
+
+
+def test_logloss_matches_sklearn(np_rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    y = np_rng.integers(0, 2, 500)
+    p = np.clip(np_rng.random(500), 1e-9, 1 - 1e-9)
+    assert log_loss_score(y, p) == pytest.approx(sk.log_loss(y, p), rel=1e-9)
+
+
+def test_auc_device_matches_host(np_rng):
+    import jax.numpy as jnp
+
+    y = np_rng.integers(0, 2, 400)
+    y[0], y[1] = 0, 1
+    p = np.round(np_rng.random(400), 2).astype(np.float32)  # many ties
+    host = auc_score(y, p)
+    dev = float(auc_score_device(jnp.asarray(y), jnp.asarray(p)))
+    assert dev == pytest.approx(host, abs=1e-5)
+
+
+def test_auc_single_class_raises():
+    with pytest.raises(ValueError):
+        auc_score(np.ones(5), np.random.rand(5))
+
+
+def test_topk_metrics():
+    y_true = {0: [1, 2], 1: [3]}
+    y_pred = {0: [1, 9, 2], 1: [4, 5, 6]}
+    res = topk_metrics(y_true, y_pred, topKs=(3,))
+    assert "NDCG" in res and "Recall" in res
+    assert res["Hit"][0].endswith("0.5000")  # user0 hit, user1 miss
+
+
+# ----------------------------------------------------------- early stopper --
+
+
+def test_early_stopper_reference_semantics():
+    # reference callback.py:24-33: stop after `patience` stale epochs
+    # (with its off-by-one: trial_counter+1 < patience)
+    es = EarlyStopper(patience=2)
+    assert not es.stop_training(0.7, {"w": 1})
+    assert not es.stop_training(0.6, {"w": 2})  # 1st stale
+    assert es.stop_training(0.5, {"w": 3})  # 2nd stale -> stop
+    assert es.best_auc == 0.7 and es.best_weights == {"w": 1}
+
+    es = EarlyStopper(patience=2)
+    es.stop_training(0.7, {})
+    es.stop_training(0.6, {})
+    assert not es.stop_training(0.8, {})  # improvement resets counter
+    assert es.best_auc == 0.8
+
+
+# ------------------------------------------------------------------- data --
+
+
+def test_batch_padding_and_weights():
+    ds = ColumnarDataset({"a": np.arange(10)}, np.arange(10))
+    it = BatchIterable(ds, batch_size=4, shuffle=False)
+    batches = list(it)
+    assert len(batches) == 3
+    x, y, w = batches[-1]
+    assert x["a"].shape == (4,) and w.tolist() == [1, 1, 0, 0]
+    # padding repeats a real row (row 8)
+    assert x["a"][2] == x["a"][0]
+
+
+def test_shuffle_reproducible_and_varies_per_epoch():
+    ds = ColumnarDataset({"a": np.arange(100)}, np.arange(100))
+    it1 = BatchIterable(ds, batch_size=100, shuffle=True, seed=3)
+    e1 = next(iter(it1))[0]["a"].copy()
+    e2 = next(iter(it1))[0]["a"].copy()
+    assert not np.array_equal(e1, e2)  # new permutation each epoch
+    it2 = BatchIterable(ds, batch_size=100, shuffle=True, seed=3)
+    np.testing.assert_array_equal(e1, next(iter(it2))[0]["a"])
+
+
+def test_datagen_split_ratio():
+    x = {"a": np.arange(100), "domain_indicator": np.zeros(100, int)}
+    dg = DataGenerator(x, np.arange(100) % 2)
+    tr, va, te = dg.generate_dataloader(split_ratio=[0.8, 0.1], batch_size=16)
+    assert len(tr.dataset) == 80 and len(va.dataset) == 10
+    assert len(te.dataset) == 10
+    # splits are disjoint
+    all_a = np.concatenate([tr.dataset.x["a"], va.dataset.x["a"],
+                            te.dataset.x["a"]])
+    assert len(np.unique(all_a)) == 100
+
+
+def test_datagen_explicit_splits():
+    dg = DataGenerator({"a": np.arange(10)}, np.zeros(10))
+    tr, va, te = dg.generate_dataloader(
+        x_val={"a": np.arange(4)}, y_val=np.zeros(4),
+        x_test={"a": np.arange(6)}, y_test=np.zeros(6), batch_size=4,
+    )
+    assert len(tr.dataset) == 10 and len(va.dataset) == 4 and len(te.dataset) == 6
