@@ -4,7 +4,7 @@ from .dataset import (
     DataGenerator,
     PredictIterable,
 )
-from .utils import df_to_dict, reduce_mem_usage
+from .utils import df_to_dict, read_csv_fast, reduce_mem_usage
 from ..core.features import get_auto_embedding_dim
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "DataGenerator",
     "PredictIterable",
     "df_to_dict",
+    "read_csv_fast",
     "reduce_mem_usage",
     "get_auto_embedding_dim",
 ]

@@ -1,8 +1,24 @@
-"""DataFrame helpers (reference utils/data.py:79-134)."""
+"""DataFrame helpers (reference utils/data.py:79-134) + native fast reader."""
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def read_csv_fast(path: str):
+    """CSV -> DataFrame via the native multithreaded columnar parser
+    (data/native/fastcsv.cpp) when available; pandas fallback otherwise.
+    Only for all-numeric CSVs (the benchmark datasets' processed form)."""
+    import pandas as pd
+
+    try:
+        from . import native
+
+        if native.available():
+            return pd.DataFrame(native.read_csv_columnar(path))
+    except Exception:
+        pass
+    return pd.read_csv(path)
 
 
 def df_to_dict(data):

@@ -27,7 +27,13 @@ class EarlyStopper:
         if val_auc > self.best_auc:
             self.best_auc = val_auc
             self.trial_counter = 0
-            self.best_weights = jax.tree_util.tree_map(lambda a: a, weights)
+            # materialize a real device-side copy: the live buffers are
+            # donated to the next train step and would be invalidated
+            import jax.numpy as jnp
+
+            self.best_weights = jax.tree_util.tree_map(
+                lambda a: jnp.array(a, copy=True), weights
+            )
             return False
         elif self.trial_counter + 1 < self.patience:
             self.trial_counter += 1

@@ -19,11 +19,23 @@ from scenario_wise_rec_tpu.data import DataGenerator  # noqa: E402
 from scenario_wise_rec_tpu.train import CTRTrainer  # noqa: E402
 
 
+def apply_device(device: str) -> None:
+    """Honor the reference's ``--device`` flag (ctr_trainer.py:49): an empty
+    value keeps JAX's default platform (the TPU when present); "cpu" forces
+    the CPU backend (must run before any backend initialization)."""
+    if device and device.lower() in ("cpu", "tpu", "axon"):
+        import jax
+
+        jax.config.update("jax_platforms",
+                          "axon" if device.lower() == "tpu" else device.lower())
+
+
 def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         epoch: int, learning_rate: float, batch_size: int, weight_decay: float,
         device: str, save_dir: str, seed: int, earlystop_patience: int,
         scheduler_params: dict, split_ratio=None):
     """Train + evaluate one model; returns (auc, logloss, per-domain lists)."""
+    apply_device(device)
     dg = DataGenerator(data["x_train"], data["y_train"])
     if split_ratio is not None:
         train_dl, val_dl, test_dl = dg.generate_dataloader(

@@ -18,7 +18,7 @@ import pandas as pd
 
 from scenario_wise_rec_tpu.configs import build_model
 from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
-from scenario_wise_rec_tpu.data import DataGenerator, reduce_mem_usage
+from scenario_wise_rec_tpu.data import DataGenerator, read_csv_fast, reduce_mem_usage
 from scenario_wise_rec_tpu.train import CTRTrainer
 
 DENSE_COLS = ["D109_14", "D110_14", "D127_14", "D150_14", "D508", "D509",
@@ -26,9 +26,9 @@ DENSE_COLS = ["D109_14", "D110_14", "D127_14", "D150_14", "D508", "D509",
 
 
 def _load(data_path):
-    df_train = reduce_mem_usage(pd.read_csv(data_path + "/ali_ccp_train_sample.csv"))
-    df_val = reduce_mem_usage(pd.read_csv(data_path + "/ali_ccp_val_sample.csv"))
-    df_test = reduce_mem_usage(pd.read_csv(data_path + "/ali_ccp_test_sample.csv"))
+    df_train = reduce_mem_usage(read_csv_fast(data_path + "/ali_ccp_train_sample.csv"))
+    df_val = reduce_mem_usage(read_csv_fast(data_path + "/ali_ccp_val_sample.csv"))
+    df_test = reduce_mem_usage(read_csv_fast(data_path + "/ali_ccp_test_sample.csv"))
     print("train : val : test = %d %d %d" % (len(df_train), len(df_val), len(df_test)))
     train_idx, val_idx = len(df_train), len(df_train) + len(df_val)
     data = pd.concat([df_train, df_val, df_test], axis=0)
@@ -112,6 +112,9 @@ def get_ali_ccp_data_dict_ppnet(data_path):
 
 def main(dataset_path, model_name, epoch, learning_rate, batch_size,
          weight_decay, device, save_dir, seed):
+    from _runner import apply_device
+
+    apply_device(device)
     dataset_name = "Aliccp"
     if model_name in ("adasparse", "m2m", "adaptdhm", "epnet"):
         d = get_ali_ccp_data_dict_scenario(dataset_path)

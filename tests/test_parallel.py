@@ -1,0 +1,113 @@
+"""Sharding tests on the 8-device virtual CPU mesh.
+
+Covers SURVEY §2.4's distributed design: DP batch sharding with automatic
+gradient all-reduce, row-sharded embedding tables (both the XLA-SPMD path
+and the explicit shard_map path), and single-vs-multi-device equivalence of
+the full train step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+from scenario_wise_rec_tpu.models import MMOE
+from scenario_wise_rec_tpu.parallel.mesh import make_mesh
+from scenario_wise_rec_tpu.parallel.sharded_embedding import (
+    make_sharded_lookup_fn,
+    pad_vocab,
+)
+from scenario_wise_rec_tpu.parallel.sharding_rules import (
+    param_specs,
+    place_params,
+)
+from scenario_wise_rec_tpu.train.loss import bce_loss
+from scenario_wise_rec_tpu.train.optim import adam
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _model_and_batch(batch=32):
+    sparse = [SparseFeature(f"s{i}", vocab_size=40, embed_dim=8)
+              for i in range(3)]
+    dense = [DenseFeature("d0")]
+    model = MMOE(dense + sparse, 3, n_expert=2,
+                 expert_params={"dims": [16]}, tower_params={"dims": [8]})
+    rng = np.random.default_rng(0)
+    x = {f"s{i}": jnp.asarray(rng.integers(0, 40, batch)) for i in range(3)}
+    x["d0"] = jnp.asarray(rng.normal(size=batch).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(rng.integers(0, 3, batch))
+    y = jnp.asarray(rng.integers(0, 2, batch).astype(np.float32))
+    return model, x, y
+
+
+def test_sharded_lookup_matches_dense(rng):
+    mesh = make_mesh(n_data=2, n_embed=4)
+    table = jax.random.normal(rng, (37, 8))  # deliberately non-divisible
+    sharded, lookup = make_sharded_lookup_fn(mesh, table)
+    assert sharded.shape[0] == pad_vocab(37, 4) == 40
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 37, (4, 6)))
+    got = lookup(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(table[ids]),
+                               atol=1e-6)
+    # the table really is distributed: each device holds 1/4 of the rows
+    row_counts = {s.data.shape[0] for s in sharded.addressable_shards}
+    assert row_counts == {10}
+
+
+def test_dp_train_step_matches_single_device():
+    """Same batch, same init: (data=8)-sharded step == single-device step."""
+    model, x, y = _model_and_batch(batch=32)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    optimizer = adam(lr=1e-2, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+
+    def train_step(params, opt_state, state, x, y):
+        def loss_fn(p):
+            probs, ns = model.apply(p, state, x, train=True,
+                                    rng=jax.random.PRNGKey(1))
+            return bce_loss(probs, y), ns
+
+        (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # NOTE: comparing grads, not post-Adam params — Adam's first-step
+        # g/sqrt(g^2) normalization turns fp32 reduction-order noise in
+        # near-zero grads into O(lr) param differences.
+        return grads, loss
+
+    # single device
+    p1, loss1 = jax.jit(train_step)(params, opt_state, state, x, y)
+
+    # 8-way data parallel + embed-sharded tables
+    mesh = make_mesh(n_data=8, n_embed=1)
+    data_sh = NamedSharding(mesh, P("data"))
+    xs = {k: jax.device_put(v, data_sh) for k, v in x.items()}
+    ys = jax.device_put(y, data_sh)
+    ps = place_params(mesh, params)
+    ss = jax.device_put(state, NamedSharding(mesh, P()))
+    os_ = jax.device_put(opt_state, NamedSharding(mesh, P()))
+    with mesh:
+        p8, loss8 = jax.jit(train_step)(ps, os_, ss, xs, ys)
+
+    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_param_specs_only_shards_tables():
+    model, _, _ = _model_and_batch()
+    params, _ = jax.jit(model.init)(jax.random.PRNGKey(0))
+    specs = param_specs(params)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    for path, spec in flat:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "packed" in keys:
+            assert spec == P("embed", None)
+        else:
+            assert spec == P()
