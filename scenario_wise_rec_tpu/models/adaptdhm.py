@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import config as compute_config
 from ..core import init as initializers
 from ..core.features import sum_embed_dims
 from ..ops.embedding import EmbeddingCollection
@@ -97,9 +98,9 @@ class AdaptDHM(Model):
             for i in range(self.layer_num)
         ]  # each [C, in, out]
         for i in range(self.layer_num - 1):
-            h = jax.nn.relu(jnp.einsum("cbi,cio->cbo", h, stacked_w[i]))
+            h = jax.nn.relu(compute_config.einsum("cbi,cio->cbo", h, stacked_w[i]))
         h = jax.nn.sigmoid(
-            jnp.einsum("cbi,cio->cbo", h, stacked_w[self.layer_num - 1])
+            compute_config.einsum("cbi,cio->cbo", h, stacked_w[self.layer_num - 1])
         )  # [C, B, 1]
         out = jnp.take_along_axis(h[..., 0].T, router[:, None], axis=1)[:, 0]
         new_state = {"center": new_center if train else state["center"]}

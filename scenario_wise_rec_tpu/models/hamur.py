@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import config as compute_config
 from ..core import init as initializers
 from ..core.features import sum_embed_dims
 from ..ops.embedding import EmbeddingCollection
@@ -153,7 +154,7 @@ class _Hamur(Model):
         adapters = {blk: j for j, blk in enumerate(self.adapter_after)}
         for i in range(self.n_blocks):
             blk = params["blocks"][i]
-            h = jnp.einsum("dbi,dio->dbo", h, blk["lin"]["w"]) \
+            h = compute_config.einsum("dbi,dio->dbo", h, blk["lin"]["w"]) \
                 + blk["lin"]["b"][:, None, :]
             h, bn_s = stacked_batchnorm_apply(blk["bn"], state["blocks"][i], h,
                                               train)
@@ -162,7 +163,7 @@ class _Hamur(Model):
             if (i + 1) in adapters:
                 a = params["adapters"][adapters[i + 1]]
                 h = jax.vmap(lambda hd: self._adapter(a, hd, hyper_out))(h)
-        h = jnp.einsum("dbi,dio->dbo", h, params["final"]["w"]) \
+        h = compute_config.einsum("dbi,dio->dbo", h, params["final"]["w"]) \
             + params["final"]["b"][:, None, :]
         ys = jax.nn.sigmoid(h)  # [D, B, 1]
         out = domain_select(ys, did)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import config as compute_config
 from ..core import init as initializers
 from ..core.features import sum_embed_dims
 from ..ops.embedding import EmbeddingCollection
@@ -116,7 +117,7 @@ class M3oE(Model):
         # STAR fusion front-end (m3oe.py:145-150)
         skip = _mlp_n_apply(params["skip"], input_emb)
         w = params["slot_w"] * params["shared_w"][None]  # [D, s0, s1]
-        star = jnp.einsum("bi,dio->dbo", input_emb, w) \
+        star = compute_config.einsum("bi,dio->dbo", input_emb, w) \
             + params["slot_b"][:, None, :] + params["shared_b"][None, None, :]
         emb = jnp.einsum(
             "bd,dbo->bo",

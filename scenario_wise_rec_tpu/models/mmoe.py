@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import config as compute_config
+
 from ..core.features import sum_embed_dims
 from ..ops.embedding import EmbeddingCollection
 from ..ops.nn import MLP, stacked_mlp_apply, stacked_mlp_init
@@ -57,7 +59,7 @@ class MMOE(Model):
         )  # [D, B, E] (softmax over E)
 
         # per-domain mixture: sum_e gate[d,b,e] * expert[e,b,h] (mmoe.py:48-49)
-        mixed = jnp.einsum("dbe,ebh->dbh", gate_outs, expert_outs)
+        mixed = compute_config.einsum("dbe,ebh->dbh", gate_outs, expert_outs)
 
         ys, towers_s = stacked_mlp_apply(
             self.tower, params["towers"], state["towers"], mixed, train, kt,

@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import config as compute_config
 from ..core import init as initializers
 from ..core.features import sum_embed_dims
 from ..ops.embedding import EmbeddingCollection
@@ -105,7 +106,7 @@ class Star(Model):
             fcn = params["fcn"]
             w = fcn["share_w"][i][None] * fcn["dom_w"][i]  # [D, in, out]
             bias = fcn["share_b"][i][None] + fcn["dom_b"][i]  # [D, out]
-            h = jnp.einsum("dbi,dio->dbo", h, w) + bias[:, None, :]
+            h = compute_config.einsum("dbi,dio->dbo", h, w) + bias[:, None, :]
             h, bn_s = stacked_batchnorm_apply(
                 fcn["bn"][i], state["bn"][i], h, train
             )

@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..core import config as compute_config
 from ..core import init as initializers
 from ..core.activations import activation as activation_factory
 
@@ -46,7 +47,7 @@ def linear_init(rng, in_dim: int, out_dim: int):
 
 
 def linear_apply(params, x):
-    return x @ params["w"] + params["b"]
+    return compute_config.matmul(x, params["w"]) + params["b"]
 
 
 # --------------------------------------------------------------------------
