@@ -3,8 +3,15 @@
 Flagship = MMOE with the Ali-CCP shape (23 sparse x 16-dim embeddings +
 8 dense, experts [256,128,64,32,16,8], 3 domains), batch 4096 — the
 reference's headline benchmark config (run_ali_ccp…py:140-141, batch
-4096 per :193). Measures the full jitted train step (forward + BCE +
-backward + Adam) on the available accelerator.
+4096 per :193). Measures the REAL CTRTrainer jitted train step (forward +
+BCE + backward + torch-Adam, buffers donated) on the available accelerator.
+
+Modes (env vars, default = full-parity f32 dense-Adam):
+  SWR_SPARSE_EMB=1  lazy row-sparse Adam on the packed embedding table
+                    (CTRTrainer(sparse_embedding_updates=True))
+  SWR_BF16=1        bf16 matmul inputs, f32 accumulation
+  SWR_VOCAB=N       per-feature vocab (default 20000)
+  SWR_BATCH=N       batch size (default 4096)
 
 ``vs_baseline`` compares against the PyTorch reference's measured
 throughput for the identical model/batch on this host's CPU (the
@@ -20,21 +27,24 @@ import time
 
 import numpy as np
 
-BATCH = 4096
+BATCH = int(os.environ.get("SWR_BATCH", 4096))
 N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
-VOCAB = 20_000  # per-feature vocab (Ali-CCP scale varies 10..467k)
+VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
 STEPS = 30
+SPARSE = os.environ.get("SWR_SPARSE_EMB", "0") == "1"
+BF16 = os.environ.get("SWR_BF16", "0") == "1"
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature, config
     from scenario_wise_rec_tpu.models import MMOE
-    from scenario_wise_rec_tpu.train.loss import bce_loss
-    from scenario_wise_rec_tpu.train.optim import adam
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    if BF16:
+        config.set_compute_dtype(jnp.bfloat16)
 
     sparse = [SparseFeature(f"s{i}", vocab_size=VOCAB, embed_dim=16)
               for i in range(N_SPARSE)]
@@ -51,36 +61,25 @@ def main():
     x["domain_indicator"] = jnp.asarray(
         rng.integers(0, DOMAINS, BATCH).astype(np.int32))
     y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
+    w = jnp.ones((BATCH,), jnp.float32)
 
-    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
-    optimizer = adam(lr=1e-3, weight_decay=1e-5)
-    opt_state = jax.jit(optimizer.init)(params)
-
-    @jax.jit
-    def train_step(params, opt_state, state, x, y, rng):
-        def loss_fn(p):
-            probs, new_state = model.apply(p, state, x, train=True, rng=rng)
-            return bce_loss(probs, y), new_state
-
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, new_state, loss
+    trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE)
+    params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
+    step = trainer._train_step
 
     key = jax.random.PRNGKey(1)
     # warmup (compile)
     for _ in range(3):
         key, k = jax.random.split(key)
-        params, opt_state, state, loss = train_step(params, opt_state, state,
-                                                    x, y, k)
+        params, opt_state, state, loss = step(params, opt_state, state,
+                                              x, y, w, k)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         key, k = jax.random.split(key)
-        params, opt_state, state, loss = train_step(params, opt_state, state,
-                                                    x, y, k)
+        params, opt_state, state, loss = step(params, opt_state, state,
+                                              x, y, w, k)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     examples_per_s = STEPS * BATCH / dt

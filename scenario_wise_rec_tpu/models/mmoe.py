@@ -67,3 +67,26 @@ class MMOE(Model):
         )  # [D, B, 1]
         out = domain_select(jax.nn.sigmoid(ys), did)
         return out, {"experts": experts_s, "gates": gates_s, "towers": towers_s}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused inference kernel.
+
+        Numerically equivalent to ``apply(train=False)`` (BatchNorm folded
+        into the affines — ops/pallas/folding.py); the entire post-embedding
+        stack runs in ONE kernel out of VMEM (ops/pallas/mmoe_infer.py).
+        """
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.mmoe_infer import mmoe_fused_infer
+
+        assert self.expert.act.name == "relu" and self.tower.act.name == "relu"
+        assert self.gate.act.name == "softmax"
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        expert_stages, _ = fold_stacked_mlp_eval(params["experts"],
+                                                 state["experts"])
+        gate_stages, _ = fold_stacked_mlp_eval(params["gates"], state["gates"])
+        tower_stages, tower_out = fold_stacked_mlp_eval(params["towers"],
+                                                        state["towers"])
+        return mmoe_fused_infer(emb, did, expert_stages, gate_stages[0],
+                                tower_stages, tower_out)

@@ -51,3 +51,20 @@ class SharedBottom(Model):
         probs = jax.nn.sigmoid(ys)  # [D, B, 1]
         out = domain_select(probs, did)
         return out, {"bottom": bottom_s, "towers": towers_s}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward via the Pallas fused trunk→towers kernel
+        (ops/pallas/tower_infer.py); numerically equivalent to
+        ``apply(train=False)`` with BatchNorm constant-folded."""
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.tower_infer import trunk_towers_fused_infer
+
+        assert self.bottom_mlp.act.name == "relu"
+        assert self.tower.act.name == "relu"
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        trunk, _ = fold_stacked_mlp_eval(params["bottom"], state["bottom"])
+        towers, tower_out = fold_stacked_mlp_eval(params["towers"],
+                                                  state["towers"])
+        return trunk_towers_fused_infer(emb, did, trunk, towers, tower_out)

@@ -115,6 +115,32 @@ class EmbeddingCollection:
             return params["packed"][ids + self.offsets[owner]]
         return params["tables"][owner][ids]
 
+    def touched_ids(self, x: Dict[str, jnp.ndarray],
+                    features: Sequence[Feature] | None = None) -> jnp.ndarray:
+        """Packed-table row indices touched by this batch (static shape).
+
+        Union over every packed sparse/sequence feature (aliases resolve to
+        the owner's offset). Used by the sparse/lazy embedding optimizer
+        (train/optim.py:sparse_adam_rows_update): rows outside this set have
+        zero gradient, so a row-wise update over this set is exact.
+        Out-of-range ids are clipped to match XLA's clamping gather.
+        """
+        feats = self.features if features is None else tuple(features)
+        parts: List[jnp.ndarray] = []
+        for f in feats:
+            if not isinstance(f, (SparseFeature, SequenceFeature)):
+                continue
+            owner = self._owner(f)
+            if owner not in self.offsets:
+                continue
+            ids = x[f.name].astype(jnp.int32).reshape(-1)
+            vocab = self.owned[owner].vocab_size
+            ids = jnp.clip(ids, 0, vocab - 1) + self.offsets[owner]
+            parts.append(ids)
+        if not parts:
+            return jnp.zeros((0,), jnp.int32)
+        return jnp.concatenate(parts)
+
     # -- lookup -----------------------------------------------------------
 
     def apply(self, params, x: Dict[str, jnp.ndarray], features: Sequence[Feature],

@@ -14,6 +14,7 @@ reference's effective behavior.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 
@@ -33,6 +34,64 @@ def adam(lr: float = 1e-3, weight_decay: float = 1e-5,
         parts.append(optax.scale_by_schedule(lambda step: schedule(step)))
     parts.append(optax.scale(-lr))
     return optax.chain(*parts)
+
+
+def sparse_adam_init(table):
+    """Optimizer state for :func:`sparse_adam_rows_update`."""
+    return {
+        "mu": jnp.zeros_like(table),
+        "nu": jnp.zeros_like(table),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def sparse_adam_rows_update(table, opt_state, g_dense, ids,
+                            lr: float = 1e-3, weight_decay: float = 1e-5,
+                            b1: float = 0.9, b2: float = 0.999,
+                            eps: float = 1e-8):
+    """Lazy (row-sparse) Adam on an embedding table.
+
+    Only the rows in ``ids`` (the rows the batch actually touched, see
+    EmbeddingCollection.touched_ids) move: their moments are gathered,
+    updated with torch-Adam math (global-step bias correction, the semantics
+    of ``torch.optim.SparseAdam``), and scattered back. HBM traffic is
+    O(touched rows), not O(vocab) — the dense-Adam full-table read+write is
+    the dominant per-step cost for production-scale vocabularies.
+
+    Deviation from the reference's dense ``torch.optim.Adam`` (documented in
+    README's parity ledger): untouched rows receive no weight decay and their
+    moments do not decay until next touched. ``ids`` may contain duplicates
+    (duplicate rows compute identical updates; all but the first occurrence
+    are dropped on scatter).
+
+    Returns ``(new_table, new_opt_state)``.
+    """
+    vocab = table.shape[0]
+    sids = jnp.sort(ids)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+    ) if sids.shape[0] else jnp.zeros((0,), bool)
+    # duplicates scatter out-of-range -> dropped
+    safe = jnp.where(first, sids, vocab)
+
+    g = g_dense[sids]
+    p = table[sids]
+    if weight_decay:
+        g = g + weight_decay * p  # torch Adam: decay folded into the gradient
+    mu = b1 * opt_state["mu"][sids] + (1 - b1) * g
+    nu = b2 * opt_state["nu"][sids] + (1 - b2) * (g * g)
+    t = opt_state["step"] + 1
+    bc1 = 1.0 - b1 ** t.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** t.astype(jnp.float32)
+    update = lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+
+    new_table = table.at[safe].set(p - update, mode="drop")
+    new_state = {
+        "mu": opt_state["mu"].at[safe].set(mu, mode="drop"),
+        "nu": opt_state["nu"].at[safe].set(nu, mode="drop"),
+        "step": t,
+    }
+    return new_table, new_state
 
 
 def step_lr(step_size: int, gamma: float):

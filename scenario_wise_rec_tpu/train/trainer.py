@@ -35,7 +35,7 @@ from . import checkpoint as ckpt_lib
 from .callback import EarlyStopper
 from .loss import bce_loss
 from .metrics import auc_score, log_loss_score
-from .optim import adam
+from .optim import adam, sparse_adam_init, sparse_adam_rows_update
 
 
 class CTRTrainer:
@@ -71,6 +71,8 @@ class CTRTrainer:
         model_path: str = "./",
         seed: int = 0,
         mesh=None,
+        sparse_embedding_updates: bool = False,
+        fused_inference: bool = False,
     ):
         self.model = model
         self.data_set_type = data_set_type
@@ -83,8 +85,20 @@ class CTRTrainer:
             self._epoch_schedule = scheduler_fn(**(scheduler_params or {}))
         if optimizer_fn is None:
             optimizer_fn = adam
+        # Sparse/lazy embedding updates (opt-in, Adam-only): the packed
+        # mega-table is excluded from the dense optax chain and updated
+        # row-wise over only the rows the batch touched — the dense full-table
+        # Adam read+write is the dominant per-step HBM cost at production
+        # vocabulary scale (see optim.sparse_adam_rows_update).
+        self._sparse_emb = bool(
+            sparse_embedding_updates
+            and getattr(model, "embedding", None) is not None
+            and getattr(model.embedding, "packed_names", None)
+        )
         self.optimizer = optimizer_fn(**optimizer_params, schedule=schedule) \
             if schedule is not None else optimizer_fn(**optimizer_params)
+        if self._sparse_emb:
+            self.optimizer = self._wrap_dense_only(self.optimizer)
         self._base_lr = optimizer_params.get("lr", 1e-3)
         self._opt_params = dict(optimizer_params)
         self._opt_fn = optimizer_fn
@@ -98,9 +112,17 @@ class CTRTrainer:
         # jit the init: eager op-by-op dispatch is orders slower than one
         # compiled program, even for parameter initialization
         self.params, self.state = jax.jit(model.init)(k_init)
-        self.opt_state = self.optimizer.init(self.params)
+        if self._sparse_emb:
+            self.opt_state = {
+                "base": self.optimizer.init(self.params),
+                "emb": sparse_adam_init(self.params["embedding"]["packed"]),
+            }
+        else:
+            self.opt_state = self.optimizer.init(self.params)
         self.epoch_i = 0
 
+        self._lr_now = self._base_lr
+        self._fused_inference = bool(fused_inference)
         self._train_step = self._build_train_step(self.optimizer)
         self._eval_step = self._build_eval_step()
         self._shard = None
@@ -114,8 +136,33 @@ class CTRTrainer:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _wrap_dense_only(optimizer):
+        """Route the packed embedding table around the dense optax chain."""
+
+        def labels(params):
+            def lab(path, _):
+                keys = [getattr(k, "key", None) for k in path[:2]]
+                return "sparse" if keys == ["embedding", "packed"] else "dense"
+
+            return jax.tree_util.tree_map_with_path(lab, params)
+
+        return optax.multi_transform(
+            {"dense": optimizer, "sparse": optax.set_to_zero()}, labels
+        )
+
     def _build_train_step(self, optimizer):
         model = self.model
+        sparse_emb = self._sparse_emb
+        if sparse_emb:
+            collection = model.embedding
+            adam_kw = dict(
+                lr=self._lr_now,
+                weight_decay=self._opt_params.get("weight_decay", 1e-5),
+                b1=self._opt_params.get("b1", 0.9),
+                b2=self._opt_params.get("b2", 0.999),
+                eps=self._opt_params.get("eps", 1e-8),
+            )
 
         # donate params/opt_state/state: they are returned updated, so XLA
         # reuses the buffers in place (halves HBM traffic for the update);
@@ -129,14 +176,37 @@ class CTRTrainer:
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params
             )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
+            if not sparse_emb:
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, new_state, loss
+
+            updates, base_state = optimizer.update(
+                grads, opt_state["base"], params
+            )  # packed leaf labeled set_to_zero -> unchanged by this
             params = optax.apply_updates(params, updates)
-            return params, opt_state, new_state, loss
+            table, emb_state = sparse_adam_rows_update(
+                params["embedding"]["packed"], opt_state["emb"],
+                grads["embedding"]["packed"], collection.touched_ids(x),
+                **adam_kw,
+            )
+            params = {**params,
+                      "embedding": {**params["embedding"], "packed": table}}
+            return (params, {"base": base_state, "emb": emb_state},
+                    new_state, loss)
 
         return step
 
     def _build_eval_step(self):
         model = self.model
+        # opt-in Pallas fused inference (ops/pallas): numerically equal to
+        # apply(train=False) — pinned by tests/test_pallas_kernels.py
+        if self._fused_inference and hasattr(model, "apply_fused_eval"):
+            @jax.jit
+            def step(params, state, x):
+                return model.apply_fused_eval(params, state, x)
+
+            return step
 
         @jax.jit
         def step(params, state, x):
@@ -180,6 +250,9 @@ class CTRTrainer:
                 p = dict(self._opt_params)
                 p["lr"] = self._base_lr * float(scale)
                 self.optimizer = self._opt_fn(**p)
+                if self._sparse_emb:
+                    self.optimizer = self._wrap_dense_only(self.optimizer)
+                self._lr_now = p["lr"]
                 self._train_step = self._build_train_step(self.optimizer)
             self.train_one_epoch(train_dataloader)
             if val_dataloader:

@@ -1,0 +1,67 @@
+"""Serving throughput: fused Pallas inference kernel vs op-by-op XLA eval.
+
+Flagship MMOE Ali-CCP shape (same as bench.py), eval path only.
+Prints one JSON line per variant.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+BATCH = int(os.environ.get("SWR_BATCH", 4096))
+N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
+VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
+STEPS = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+    from scenario_wise_rec_tpu.models import MMOE
+
+    sparse = [SparseFeature(f"s{i}", vocab_size=VOCAB, embed_dim=16)
+              for i in range(N_SPARSE)]
+    dense = [DenseFeature(f"d{i}") for i in range(N_DENSE)]
+    model = MMOE(dense + sparse, DOMAINS, n_expert=DOMAINS,
+                 expert_params={"dims": [256, 128, 64, 32, 16, 8]},
+                 tower_params={"dims": [16]})
+    r = np.random.default_rng(0)
+    x = {f"s{i}": jnp.asarray(r.integers(0, VOCAB, BATCH).astype(np.int32))
+         for i in range(N_SPARSE)}
+    x.update({f"d{i}": jnp.asarray(r.normal(size=BATCH).astype(np.float32))
+              for i in range(N_DENSE)})
+    x["domain_indicator"] = jnp.asarray(
+        r.integers(0, DOMAINS, BATCH).astype(np.int32))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def eval_xla(params, state, x):
+        probs, _ = model.apply(params, state, x, train=False, rng=None)
+        return probs
+
+    eval_fused = jax.jit(model.apply_fused_eval)
+
+    for name, fn in (("xla_opbyop", eval_xla), ("pallas_fused", eval_fused)):
+        out = fn(params, state, x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = fn(params, state, x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"infer_throughput_mmoe_{name}",
+            "value": round(STEPS * BATCH / dt, 1),
+            "unit": "examples/s/chip",
+        }))
+
+
+if __name__ == "__main__":
+    main()

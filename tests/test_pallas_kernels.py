@@ -1,0 +1,111 @@
+"""Pallas fused kernels == the parity `apply` path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+from scenario_wise_rec_tpu.models import MMOE
+from scenario_wise_rec_tpu.ops.nn import MLP, stacked_mlp_apply, stacked_mlp_init
+from scenario_wise_rec_tpu.ops.pallas import fold_stacked_mlp_eval
+
+
+def test_fold_stacked_mlp_eval_matches_apply(np_rng):
+    mlp = MLP(12, dims=[8, 4], output_layer=True)
+    params, state = stacked_mlp_init(mlp, jax.random.PRNGKey(0), 3)
+    # make running stats non-trivial
+    state = jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(np_rng.normal(0, 0.1, a.shape).astype(np.float32)) ** 2,
+        state)
+    x = jnp.asarray(np_rng.normal(size=(16, 12)).astype(np.float32))
+    want, _ = stacked_mlp_apply(mlp, params, state, x, train=False)
+
+    stages, out = fold_stacked_mlp_eval(params, state)
+    h = x
+    for w, b in stages:
+        h = jax.nn.relu(jnp.einsum("bi,nio->nbo", h, w) + b[:, None, :]) \
+            if h.ndim == 2 else jax.nn.relu(jnp.einsum("nbi,nio->nbo", h, w) + b[:, None, :])
+    got = jnp.einsum("nbi,nio->nbo", h, out[0]) + out[1][:, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _mmoe_setup(batch=50, vocab=64, n_sparse=5, n_dense=2, domains=3,
+                seed=0):
+    r = np.random.default_rng(seed)
+    feats = ([SparseFeature(f"s{i}", vocab_size=vocab, embed_dim=8)
+              for i in range(n_sparse)]
+             + [DenseFeature(f"d{i}") for i in range(n_dense)])
+    model = MMOE(feats, domains, n_expert=2,
+                 expert_params={"dims": [16, 8]}, tower_params={"dims": [4]})
+    x = {f"s{i}": jnp.asarray(r.integers(0, vocab, batch)) for i in range(n_sparse)}
+    x.update({f"d{i}": jnp.asarray(r.normal(size=batch).astype(np.float32))
+              for i in range(n_dense)})
+    x["domain_indicator"] = jnp.asarray(r.integers(0, domains, batch))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(1))
+    return model, params, state, x
+
+
+def test_mmoe_fused_infer_matches_apply():
+    model, params, state, x = _mmoe_setup()
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mmoe_fused_infer_pads_ragged_batch():
+    # batch not a multiple of the tile: exercises the pad+slice path
+    model, params, state, x = _mmoe_setup(batch=37, seed=3)
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    from scenario_wise_rec_tpu.ops.pallas.folding import fold_stacked_mlp_eval
+    from scenario_wise_rec_tpu.ops.pallas.mmoe_infer import mmoe_fused_infer
+    from scenario_wise_rec_tpu.models.base import domain_ids
+
+    emb = model.embedding.apply(params["embedding"], x, model.features,
+                                squeeze_dim=True)
+    e, _ = fold_stacked_mlp_eval(params["experts"], state["experts"])
+    g, _ = fold_stacked_mlp_eval(params["gates"], state["gates"])
+    t, to = fold_stacked_mlp_eval(params["towers"], state["towers"])
+    got = mmoe_fused_infer(emb, domain_ids(x), e, g[0], t, to, block_rows=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharedbottom_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import SharedBottom
+
+    r = np.random.default_rng(11)
+    feats = ([SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+              for i in range(4)] + [DenseFeature("d0")])
+    model = SharedBottom(feats, domain_num=3,
+                         bottom_params={"dims": [16, 8]},
+                         tower_params={"dims": [4]})
+    B = 45  # ragged vs block_rows to exercise padding
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, B)) for i in range(4)}
+    x["d0"] = jnp.asarray(r.normal(size=B).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, B))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(4))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_fused_inference_flag():
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, _, _, x = _mmoe_setup(batch=32, seed=7)
+    tr = CTRTrainer(model, fused_inference=True, seed=2)
+    ref, _ = model.apply(tr.params, tr.state, x, train=False, rng=None)
+    got = tr._eval_step(tr.params, tr.state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mmoe_fused_infer_under_jit():
+    model, params, state, x = _mmoe_setup(batch=32, seed=5)
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
