@@ -30,7 +30,7 @@ import numpy as np
 BATCH = int(os.environ.get("SWR_BATCH", 4096))
 N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
 VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
-STEPS = 30
+STEPS = int(os.environ.get("SWR_STEPS", 100))
 SPARSE = os.environ.get("SWR_SPARSE_EMB", "0") == "1"
 BF16 = os.environ.get("SWR_BF16", "0") == "1"
 

@@ -143,17 +143,49 @@ class EmbeddingCollection:
 
     # -- lookup -----------------------------------------------------------
 
+    def _rows_layout(self, x: Dict[str, jnp.ndarray]) -> Dict[str, tuple]:
+        """(start, size) per packed feature in the canonical ``touched_ids``
+        order: ``self.features`` order, each feature's ids flattened
+        row-major. This is the contract between ``touched_ids`` (which builds
+        the concatenated ids) and the ``__rows__`` cache consumed here."""
+        layout: Dict[str, tuple] = {}
+        pos = 0
+        for f in self.features:
+            if not isinstance(f, (SparseFeature, SequenceFeature)):
+                continue
+            if self._owner(f) not in self.offsets:
+                continue
+            size = 1
+            for s in x[f.name].shape:
+                size *= int(s)
+            layout[f.name] = (pos, size)
+            pos += size
+        return layout
+
     def apply(self, params, x: Dict[str, jnp.ndarray], features: Sequence[Feature],
               squeeze_dim: bool = False) -> jnp.ndarray:
-        """Embed ``features`` from batch ``x`` (layers.py:64-114 contract)."""
+        """Embed ``features`` from batch ``x`` (layers.py:64-114 contract).
+
+        If ``params["__rows__"]`` is present it holds the pre-gathered packed
+        rows ``table[touched_ids(x)]`` (shape ``[K, D]``); packed lookups then
+        slice that cache instead of gathering the table. The trainer's
+        fully-sparse mode differentiates w.r.t. the cache, so embedding
+        gradients never materialize a dense ``[vocab, D]`` array.
+        """
         features = list(features)
+        rows_cache = params.get("__rows__") if isinstance(params, dict) else None
+        layout = self._rows_layout(x) if rows_cache is not None else None
         # Fast path: gather all packed plain-sparse features in ONE gather.
         plain = [
             f for f in features
             if isinstance(f, SparseFeature) and self._owner(f) in self.offsets
         ]
         packed_cols: Dict[str, jnp.ndarray] = {}
-        if plain:
+        if plain and rows_cache is not None:
+            for f in plain:
+                start, size = layout[f.name]
+                packed_cols[f.name] = rows_cache[start:start + size]
+        elif plain:
             off = jnp.asarray(
                 np.array([self.offsets[self._owner(f)] for f in plain], np.int32)
             )
@@ -175,7 +207,13 @@ class EmbeddingCollection:
                     sparse_out.append(self._rows(params, self._owner(f), ids))
             elif isinstance(f, SequenceFeature):
                 ids = x[f.name].astype(jnp.int32)
-                emb = self._rows(params, self._owner(f), ids)  # [B, L, D]
+                if rows_cache is not None and self._owner(f) in self.offsets:
+                    start, size = layout[f.name]
+                    emb = rows_cache[start:start + size].reshape(
+                        ids.shape + (rows_cache.shape[-1],)
+                    )
+                else:
+                    emb = self._rows(params, self._owner(f), ids)  # [B, L, D]
                 mask = input_mask(x, f)
                 sparse_out.append(_pool(emb, mask, f.pooling))
             elif isinstance(f, DenseFeature):

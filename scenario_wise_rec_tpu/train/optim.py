@@ -71,24 +71,64 @@ def sparse_adam_rows_update(table, opt_state, g_dense, ids,
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
     ) if sids.shape[0] else jnp.zeros((0,), bool)
-    # duplicates scatter out-of-range -> dropped
-    safe = jnp.where(first, sids, vocab)
+    # duplicates scatter out-of-range -> dropped (their rows compute
+    # identical updates, gathered from the same dense-grad row)
+    scatter_ids = jnp.where(first, sids, vocab)
+    return _rows_adam_core(table, opt_state, g_dense[sids], sids, scatter_ids,
+                           lr, weight_decay, b1, b2, eps)
 
-    g = g_dense[sids]
-    p = table[sids]
+
+def sparse_adam_rowgrads_update(table, opt_state, g_rows, ids,
+                                lr: float = 1e-3, weight_decay: float = 1e-5,
+                                b1: float = 0.9, b2: float = 0.999,
+                                eps: float = 1e-8):
+    """Lazy Adam from PER-OCCURRENCE row gradients — no dense grad at all.
+
+    ``ids [K]`` (duplicates allowed) and ``g_rows [K, D]`` are the packed-row
+    indices and the cotangents of ``table[ids]`` (the trainer's fully-sparse
+    mode differentiates w.r.t. the gathered rows, see
+    EmbeddingCollection.apply's ``__rows__`` cache). Duplicate occurrences are
+    segment-summed — exactly the scatter-add a dense gather-backward would
+    produce — then each unique row gets one torch-SparseAdam update. Total
+    HBM traffic is O(K·D): nothing O(vocab) is ever allocated.
+    """
+    if ids.shape[0] == 0:
+        return table, {**opt_state, "step": opt_state["step"] + 1}
+    vocab = table.shape[0]
+    k = ids.shape[0]
+    # Sortless dedup (argsort over ~1e5 ids costs multiple full passes on
+    # TPU): elect one "winner" occurrence per unique id with a scatter into
+    # an O(vocab) int32 scratch, segment-sum every occurrence's grad into its
+    # winner's slot, and apply Adam only at winner slots.
+    occ = jnp.arange(k, dtype=jnp.int32)
+    winner = jnp.zeros((vocab,), jnp.int32).at[ids].set(occ)  # any dup wins
+    rep = winner[ids]                       # occurrence -> winner occurrence
+    g_slot = jnp.zeros_like(g_rows).at[rep].add(g_rows)  # summed dup grads
+    is_rep = rep == occ
+    uid = jnp.where(is_rep, ids, vocab)     # non-winner slots -> dropped
+    return _rows_adam_core(table, opt_state, g_slot,
+                           jnp.clip(uid, 0, vocab - 1), uid,
+                           lr, weight_decay, b1, b2, eps)
+
+
+def _rows_adam_core(table, opt_state, g, gather_ids, scatter_ids,
+                    lr, weight_decay, b1, b2, eps):
+    """Shared torch-Adam row math: gather moments at ``gather_ids``, update,
+    scatter at ``scatter_ids`` (out-of-range entries dropped)."""
+    p = table[gather_ids]
     if weight_decay:
         g = g + weight_decay * p  # torch Adam: decay folded into the gradient
-    mu = b1 * opt_state["mu"][sids] + (1 - b1) * g
-    nu = b2 * opt_state["nu"][sids] + (1 - b2) * (g * g)
+    mu = b1 * opt_state["mu"][gather_ids] + (1 - b1) * g
+    nu = b2 * opt_state["nu"][gather_ids] + (1 - b2) * (g * g)
     t = opt_state["step"] + 1
     bc1 = 1.0 - b1 ** t.astype(jnp.float32)
     bc2 = 1.0 - b2 ** t.astype(jnp.float32)
     update = lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
 
-    new_table = table.at[safe].set(p - update, mode="drop")
+    new_table = table.at[scatter_ids].set(p - update, mode="drop")
     new_state = {
-        "mu": opt_state["mu"].at[safe].set(mu, mode="drop"),
-        "nu": opt_state["nu"].at[safe].set(nu, mode="drop"),
+        "mu": opt_state["mu"].at[scatter_ids].set(mu, mode="drop"),
+        "nu": opt_state["nu"].at[scatter_ids].set(nu, mode="drop"),
         "step": t,
     }
     return new_table, new_state

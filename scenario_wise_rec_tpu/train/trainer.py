@@ -35,7 +35,7 @@ from . import checkpoint as ckpt_lib
 from .callback import EarlyStopper
 from .loss import bce_loss
 from .metrics import auc_score, log_loss_score
-from .optim import adam, sparse_adam_init, sparse_adam_rows_update
+from .optim import adam, sparse_adam_init, sparse_adam_rowgrads_update
 
 
 class CTRTrainer:
@@ -73,6 +73,7 @@ class CTRTrainer:
         mesh=None,
         sparse_embedding_updates: bool = False,
         fused_inference: bool = False,
+        donate_buffers: bool = False,
     ):
         self.model = model
         self.data_set_type = data_set_type
@@ -86,10 +87,12 @@ class CTRTrainer:
         if optimizer_fn is None:
             optimizer_fn = adam
         # Sparse/lazy embedding updates (opt-in, Adam-only): the packed
-        # mega-table is excluded from the dense optax chain and updated
-        # row-wise over only the rows the batch touched — the dense full-table
-        # Adam read+write is the dominant per-step HBM cost at production
-        # vocabulary scale (see optim.sparse_adam_rows_update).
+        # mega-table is excluded from the differentiated tree and the dense
+        # optax chain entirely. The train step differentiates w.r.t. the
+        # pre-gathered rows (EmbeddingCollection ``__rows__`` cache), so
+        # NOTHING O(vocab) is allocated — no dense grad, no full-table Adam
+        # read+write, the dominant per-step HBM cost at production vocabulary
+        # scale (see optim.sparse_adam_rowgrads_update).
         self._sparse_emb = bool(
             sparse_embedding_updates
             and getattr(model, "embedding", None) is not None
@@ -97,8 +100,6 @@ class CTRTrainer:
         )
         self.optimizer = optimizer_fn(**optimizer_params, schedule=schedule) \
             if schedule is not None else optimizer_fn(**optimizer_params)
-        if self._sparse_emb:
-            self.optimizer = self._wrap_dense_only(self.optimizer)
         self._base_lr = optimizer_params.get("lr", 1e-3)
         self._opt_params = dict(optimizer_params)
         self._opt_fn = optimizer_fn
@@ -114,7 +115,7 @@ class CTRTrainer:
         self.params, self.state = jax.jit(model.init)(k_init)
         if self._sparse_emb:
             self.opt_state = {
-                "base": self.optimizer.init(self.params),
+                "base": self.optimizer.init(self._strip_packed(self.params)),
                 "emb": sparse_adam_init(self.params["embedding"]["packed"]),
             }
         else:
@@ -123,6 +124,7 @@ class CTRTrainer:
 
         self._lr_now = self._base_lr
         self._fused_inference = bool(fused_inference)
+        self._donate_buffers = bool(donate_buffers)
         self._train_step = self._build_train_step(self.optimizer)
         self._eval_step = self._build_eval_step()
         self._shard = None
@@ -137,19 +139,10 @@ class CTRTrainer:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _wrap_dense_only(optimizer):
-        """Route the packed embedding table around the dense optax chain."""
-
-        def labels(params):
-            def lab(path, _):
-                keys = [getattr(k, "key", None) for k in path[:2]]
-                return "sparse" if keys == ["embedding", "packed"] else "dense"
-
-            return jax.tree_util.tree_map_with_path(lab, params)
-
-        return optax.multi_transform(
-            {"dense": optimizer, "sparse": optax.set_to_zero()}, labels
-        )
+    def _strip_packed(params):
+        """Params tree without the packed embedding leaf (sparse mode)."""
+        emb = {k: v for k, v in params["embedding"].items() if k != "packed"}
+        return {**params, "embedding": emb}
 
     def _build_train_step(self, optimizer):
         model = self.model
@@ -164,34 +157,54 @@ class CTRTrainer:
                 eps=self._opt_params.get("eps", 1e-8),
             )
 
-        # donate params/opt_state/state: they are returned updated, so XLA
-        # reuses the buffers in place (halves HBM traffic for the update);
-        # EarlyStopper snapshots copy, so donation never invalidates them
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def step(params, opt_state, state, x, y, w, rng):
-            def loss_fn(p):
-                probs, new_state = model.apply(p, state, x, train=True, rng=rng)
-                return bce_loss(probs, y, w), new_state
+        # Buffer donation is OFF by default: on the axon remote-TPU platform
+        # donating params/opt_state was measured 35% SLOWER per step
+        # (0.74 -> 1.15 ms for the flagship config) — the tunnel runtime
+        # seems to pay an aliasing/sync cost. On a directly-attached TPU,
+        # donation is the usual memory win; flip donate_buffers=True there.
+        jit = (partial(jax.jit, donate_argnums=(0, 1, 2))
+               if self._donate_buffers else jax.jit)
 
-            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
+        @jit
+        def step(params, opt_state, state, x, y, w, rng):
             if not sparse_emb:
+                def loss_fn(p):
+                    probs, new_state = model.apply(p, state, x, train=True,
+                                                   rng=rng)
+                    return bce_loss(probs, y, w), new_state
+
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, new_state, loss
 
+            # fully-sparse mode: differentiate w.r.t. the GATHERED rows, not
+            # the table — the embedding grad is [K, D], never [vocab, D]
+            ids = collection.touched_ids(x)
+            packed = params["embedding"]["packed"]
+            rows = packed[ids]
+            rest = self._strip_packed(params)
+
+            def loss_fn(rest_p, rows_p):
+                emb_p = dict(rest_p["embedding"])
+                emb_p["__rows__"] = rows_p
+                p2 = {**rest_p, "embedding": emb_p}
+                probs, new_state = model.apply(p2, state, x, train=True,
+                                               rng=rng)
+                return bce_loss(probs, y, w), new_state
+
+            (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(rest, rows)
             updates, base_state = optimizer.update(
-                grads, opt_state["base"], params
-            )  # packed leaf labeled set_to_zero -> unchanged by this
-            params = optax.apply_updates(params, updates)
-            table, emb_state = sparse_adam_rows_update(
-                params["embedding"]["packed"], opt_state["emb"],
-                grads["embedding"]["packed"], collection.touched_ids(x),
-                **adam_kw,
+                g_rest, opt_state["base"], rest
             )
-            params = {**params,
-                      "embedding": {**params["embedding"], "packed": table}}
+            rest = optax.apply_updates(rest, updates)
+            table, emb_state = sparse_adam_rowgrads_update(
+                packed, opt_state["emb"], g_rows, ids, **adam_kw
+            )
+            params = {**rest,
+                      "embedding": {**rest["embedding"], "packed": table}}
             return (params, {"base": base_state, "emb": emb_state},
                     new_state, loss)
 
@@ -250,8 +263,6 @@ class CTRTrainer:
                 p = dict(self._opt_params)
                 p["lr"] = self._base_lr * float(scale)
                 self.optimizer = self._opt_fn(**p)
-                if self._sparse_emb:
-                    self.optimizer = self._wrap_dense_only(self.optimizer)
                 self._lr_now = p["lr"]
                 self._train_step = self._build_train_step(self.optimizer)
             self.train_one_epoch(train_dataloader)

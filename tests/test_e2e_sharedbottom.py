@@ -42,13 +42,14 @@ def ali_ccp_sample():
             x[val_idx:], y[val_idx:])
 
 
-def _run(model, x_tr, y_tr, x_va, y_va, x_te, y_te):
+def _run(model, x_tr, y_tr, x_va, y_va, x_te, y_te, model_path="/tmp"):
     dg = DataGenerator(x_tr, y_tr)
     train_dl, val_dl, test_dl = dg.generate_dataloader(
         x_val=x_va, y_val=y_va, x_test=x_te, y_test=y_te, batch_size=32
     )
     trainer = CTRTrainer(model, "aliccp-sample", n_epoch=1,
-                         earlystop_patience=2, seed=2022)
+                         earlystop_patience=2, seed=2022,
+                         model_path=model_path)
     trainer.fit(train_dl, val_dl)
     dll, dauc, ll, auc = trainer.evaluate_multi_domain_loss(model, test_dl, 3)
     assert 0.0 <= auc <= 1.0 and ll > 0
@@ -63,15 +64,15 @@ def test_sharedbottom_e2e(ali_ccp_sample, tmp_path):
     dense, sparse, *splits = ali_ccp_sample
     model = SharedBottom(dense + sparse, 3, bottom_params={"dims": [64]},
                          tower_params={"dims": [32, 16]})
-    auc, ll = _run(model, *splits)
+    auc, ll = _run(model, *splits, model_path=str(tmp_path))
     assert np.isfinite(ll)
 
 
-def test_mmoe_e2e(ali_ccp_sample):
+def test_mmoe_e2e(ali_ccp_sample, tmp_path):
     dense, sparse, *splits = ali_ccp_sample
     model = MMOE(dense + sparse, 3, n_expert=3,
                  expert_params={"dims": [64, 32]}, tower_params={"dims": [16]})
-    auc, ll = _run(model, *splits)
+    auc, ll = _run(model, *splits, model_path=str(tmp_path))
     assert np.isfinite(ll)
 
 

@@ -100,6 +100,34 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_trainer_sparse_mode_on_mesh():
+    """CTRTrainer(mesh=..., sparse_embedding_updates=True): the fully-sparse
+    row update (winner-scatter dedup + row Adam) must compile and run under
+    SPMD with the batch sharded over ``data``."""
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, x, y = _model_and_batch(batch=32)
+    mesh = make_mesh(n_data=8, n_embed=1)
+    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True, seed=3)
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+    w = jnp.ones((32,), jnp.float32)
+    xb, yb, wb = tr._shard(xb, jnp.asarray(y), w)
+    with mesh:
+        p, o, s, loss = tr._train_step(tr.params, tr.opt_state, tr.state,
+                                       xb, yb, wb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # equivalence with the single-device sparse step
+    tr1 = CTRTrainer(model, sparse_embedding_updates=True, seed=3)
+    p1, o1, s1, loss1 = tr1._train_step(
+        tr1.params, tr1.opt_state, tr1.state,
+        {k: jnp.asarray(v) for k, v in x.items()}, jnp.asarray(y), w,
+        jax.random.PRNGKey(0))
+    assert float(loss) == pytest.approx(float(loss1), abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p["embedding"]["packed"]),
+        np.asarray(p1["embedding"]["packed"]), atol=2e-5)
+
+
 def test_param_specs_only_shards_tables():
     model, _, _ = _model_and_batch()
     params, _ = jax.jit(model.init)(jax.random.PRNGKey(0))

@@ -83,7 +83,7 @@ def test_sequence_feature_through_trainer(rng):
                          tower_params={"dims": [8]})
     dg = DataGenerator(x, y)
     tr, va, te = dg.generate_dataloader(split_ratio=[0.7, 0.15], batch_size=16)
-    trainer = CTRTrainer(model, "seq-e2e", n_epoch=1)
+    trainer = CTRTrainer(model, "seq-e2e", n_epoch=1, model_path="/tmp")
     trainer.fit(tr, va)
     auc, ll = trainer.evaluate(model, te)
     assert np.isfinite(ll)
