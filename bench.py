@@ -12,6 +12,9 @@ Modes (env vars, default = full-parity f32 dense-Adam):
   SWR_BF16=1        bf16 matmul inputs, f32 accumulation
   SWR_VOCAB=N       per-feature vocab (default 20000)
   SWR_BATCH=N       batch size (default 4096)
+  SWR_SCAN=S        S optimizer steps per dispatch via lax.scan (default 1;
+                    numerically identical to S single steps — amortizes the
+                    axon tunnel's per-dispatch launch overhead)
 
 ``vs_baseline`` compares against the PyTorch reference's measured
 throughput for the identical model/batch on this host's CPU (the
@@ -33,6 +36,7 @@ VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
 STEPS = int(os.environ.get("SWR_STEPS", 100))
 SPARSE = os.environ.get("SWR_SPARSE_EMB", "0") == "1"
 BF16 = os.environ.get("SWR_BF16", "0") == "1"
+SCAN = int(os.environ.get("SWR_SCAN", 1))
 
 
 def main():
@@ -63,9 +67,20 @@ def main():
     y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
     w = jnp.ones((BATCH,), jnp.float32)
 
-    trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE)
+    trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE,
+                         scan_steps=SCAN)
     params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
-    step = trainer._train_step
+
+    if SCAN > 1:
+        xs = {k: jnp.broadcast_to(v, (SCAN,) + v.shape) for k, v in x.items()}
+        ys = jnp.broadcast_to(y, (SCAN,) + y.shape)
+        ws = jnp.broadcast_to(w, (SCAN,) + w.shape)
+        raw = trainer._train_step_scan
+        step = lambda p, o, s, _x, _y, _w, k: raw(p, o, s, xs, ys, ws, k)
+        n_calls = max(1, STEPS // SCAN)
+    else:
+        step = trainer._train_step
+        n_calls = STEPS
 
     key = jax.random.PRNGKey(1)
     # warmup (compile)
@@ -76,13 +91,13 @@ def main():
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(n_calls):
         key, k = jax.random.split(key)
         params, opt_state, state, loss = step(params, opt_state, state,
                                               x, y, w, k)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    examples_per_s = STEPS * BATCH / dt
+    examples_per_s = n_calls * (SCAN if SCAN > 1 else 1) * BATCH / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")

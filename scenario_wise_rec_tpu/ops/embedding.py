@@ -21,12 +21,126 @@ for TPU performance:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import config as _cfg
 from ..core.features import DenseFeature, Feature, SequenceFeature, SparseFeature
+
+
+# ---------------------------------------------------------------------------
+# MXU-friendly gather: one-hot matmul backward instead of scatter-add.
+#
+# Autodiff's transpose of ``table[ids]`` is a scatter-add, which XLA lowers to
+# a SERIALIZED per-row loop on TPU — measured 5.7 ms for the flagship batch
+# (94k rows into [460k, 16]) vs 0.27 ms for the same segment-sum expressed as
+# per-feature one-hot matmuls on the MXU (f32-exact: the one-hot factor is
+# 0/1, so products are exact; duplicate ids sum in the f32 accumulator just
+# like scatter-add, only in a different order). The dense [vocab, D] gradient
+# is assembled by CONCATENATING per-feature blocks (features own disjoint,
+# ordered row ranges of the packed table) — no scatter anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _onehot_segsum(g2d: jnp.ndarray, local_ids: jnp.ndarray,
+                   vocab: int) -> jnp.ndarray:
+    """``sum_n onehot(local_ids[n]) ⊗ g2d[n]`` → ``[vocab, D]`` on the MXU."""
+    oh = (local_ids[:, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1))
+    return jnp.einsum("nv,nd->vd", oh.astype(g2d.dtype), g2d,
+                      preferred_element_type=jnp.float32).astype(g2d.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_onehot_bwd(table, ids, spans, partition):
+    return table[ids]
+
+
+def _gather_fwd(table, ids, spans, partition):
+    return table[ids], ids
+
+
+def _gather_bwd(spans: Tuple[Tuple[int, int], ...],
+                partition: Tuple[Tuple[int, int], ...], ids, g):
+    ncols = len(spans)
+    d = g.shape[-1]
+    if ncols == 1:
+        idc = ids.reshape(-1, 1)
+        gc = g.reshape(-1, 1, d)
+    else:
+        idc = ids.reshape(-1, ncols)
+        gc = g.reshape(-1, ncols, d)
+    # group columns by owning (offset, vocab) span — aliased features share one
+    per_span: Dict[Tuple[int, int], List[int]] = {}
+    for col, span in enumerate(spans):
+        per_span.setdefault(span, []).append(col)
+
+    # Bucket spans so each bucket becomes ONE batched einsum: launching a
+    # separate one-hot matmul per feature costs a fixed ~0.13 ms each on the
+    # axon runtime (23 features -> ~3 ms); one [m, n, Vpad] einsum for the
+    # whole bucket runs in ~0.27 ms. Bucket key = (#ids, ceil(log2(vocab)));
+    # within a bucket one-hots are padded to the largest vocab (<2x waste).
+    buckets: Dict[Tuple[int, int], List[Tuple[int, int, jnp.ndarray,
+                                              jnp.ndarray]]] = {}
+    for (off, vf), cols in per_span.items():
+        if len(cols) == 1:
+            lid = idc[:, cols[0]] - off
+            gg = gc[:, cols[0], :]
+        else:
+            lid = jnp.concatenate([idc[:, c] - off for c in cols])
+            gg = jnp.concatenate([gc[:, c, :] for c in cols])
+        key = (lid.shape[0], max(vf - 1, 1).bit_length())
+        buckets.setdefault(key, []).append((off, vf, lid, gg))
+
+    blocks: Dict[int, jnp.ndarray] = {}
+    for (_, _), entries in buckets.items():
+        vpad = max(vf for _, vf, _, _ in entries)
+        # clip like XLA's clamping gather so OOB ids route to the same row
+        lids = jnp.stack([jnp.clip(lid, 0, vf - 1)
+                          for _, vf, lid, _ in entries])        # [m, n]
+        ggs = jnp.stack([gg for _, _, _, gg in entries])        # [m, n, d]
+        oh = (lids[:, :, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1, 1, vpad), 2))
+        out = jnp.einsum("mnv,mnd->mvd", oh.astype(ggs.dtype), ggs,
+                         preferred_element_type=jnp.float32).astype(ggs.dtype)
+        for i, (off, vf, _, _) in enumerate(entries):
+            blk = out[i, :vf]
+            blocks[off] = blocks[off] + blk if off in blocks else blk
+
+    parts = [
+        blocks[off] if off in blocks else jnp.zeros((vf, d), g.dtype)
+        for off, vf in partition
+    ]
+    grad = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return grad, None
+
+
+_gather_onehot_bwd.defvjp(_gather_fwd, _gather_bwd)
+
+
+def mxu_gather(table, ids, spans, partition):
+    """``table[ids]`` whose backward is scatter-free (one-hot matmuls).
+
+    Args:
+        table: ``[V, D]`` (packed mega-table or a single loose table).
+        ids: global row indices; if ``len(spans) > 1`` the LAST axis indexes
+            feature columns (``ids[..., f]`` belongs to ``spans[f]``),
+            otherwise every element belongs to ``spans[0]``.
+        spans: static ``((offset, vocab), ...)`` per id column.
+        partition: static row partition of the whole table, ascending &
+            contiguous — the backward emits one block per entry.
+
+    Mode is resolved at trace time (core/config.use_onehot_embedding_grad):
+    CPU keeps the scatter-add transpose (fast there; the one-hot matmul is
+    FLOP-prohibitive without an MXU).
+    """
+    if not _cfg.use_onehot_embedding_grad():
+        return table[ids]
+    return _gather_onehot_bwd(table, ids, spans, partition)
 
 
 def input_mask(x: Dict[str, jnp.ndarray], feature) -> jnp.ndarray:
@@ -85,6 +199,10 @@ class EmbeddingCollection:
                 self.packed_names.append(name)
         self.packed_vocab = total
         self.loose_names = [n for n in owned if n not in self.offsets]
+        # static row partition of the packed table (for mxu_gather's backward)
+        self.partition: Tuple[Tuple[int, int], ...] = tuple(
+            (self.offsets[n], owned[n].vocab_size) for n in self.packed_names
+        )
 
     # -- params -----------------------------------------------------------
 
@@ -112,8 +230,13 @@ class EmbeddingCollection:
 
     def _rows(self, params, owner: str, ids: jnp.ndarray) -> jnp.ndarray:
         if owner in self.offsets:
-            return params["packed"][ids + self.offsets[owner]]
-        return params["tables"][owner][ids]
+            off = self.offsets[owner]
+            span = (off, self.owned[owner].vocab_size)
+            return mxu_gather(params["packed"], ids + off, (span,),
+                              self.partition)
+        vocab = self.owned[owner].vocab_size
+        return mxu_gather(params["tables"][owner], ids, ((0, vocab),),
+                          ((0, vocab),))
 
     def touched_ids(self, x: Dict[str, jnp.ndarray],
                     features: Sequence[Feature] | None = None) -> jnp.ndarray:
@@ -192,7 +315,13 @@ class EmbeddingCollection:
             ids = jnp.stack(
                 [x[f.name].astype(jnp.int32) for f in plain], axis=1
             ) + off[None, :]
-            gathered = params["packed"][ids]  # [B, F_plain, D] — one gather
+            spans = tuple(
+                (self.offsets[self._owner(f)],
+                 self.owned[self._owner(f)].vocab_size)
+                for f in plain
+            )
+            # [B, F_plain, D] — one gather fwd, scatter-free one-hot bwd
+            gathered = mxu_gather(params["packed"], ids, spans, self.partition)
             for i, f in enumerate(plain):
                 packed_cols[f.name] = gathered[:, i, :]
 

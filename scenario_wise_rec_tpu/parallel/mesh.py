@@ -64,3 +64,18 @@ def shard_batch_fn(mesh: Mesh):
         return x, y, w
 
     return shard
+
+
+def shard_stacked_batch_fn(mesh: Mesh):
+    """Like :func:`shard_batch_fn` but for scan-stacked ``[S, B]`` batches
+    (trainer ``scan_steps > 1``): the scan axis stays whole, the batch axis
+    (dim 1) is sharded over ``data``."""
+    sharding = NamedSharding(mesh, P(None, "data"))
+
+    def shard(x, y, w):
+        x = {k: jax.device_put(v, sharding) for k, v in x.items()}
+        y = None if y is None else jax.device_put(y, sharding)
+        w = jax.device_put(w, sharding)
+        return x, y, w
+
+    return shard

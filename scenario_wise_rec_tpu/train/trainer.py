@@ -74,6 +74,7 @@ class CTRTrainer:
         sparse_embedding_updates: bool = False,
         fused_inference: bool = False,
         donate_buffers: bool = False,
+        scan_steps: int = 1,
     ):
         self.model = model
         self.data_set_type = data_set_type
@@ -125,13 +126,20 @@ class CTRTrainer:
         self._lr_now = self._base_lr
         self._fused_inference = bool(fused_inference)
         self._donate_buffers = bool(donate_buffers)
+        self.scan_steps = max(1, int(scan_steps))
         self._train_step = self._build_train_step(self.optimizer)
+        self._train_step_scan = (
+            self._build_train_step_scan(self.optimizer)
+            if self.scan_steps > 1 else None)
         self._eval_step = self._build_eval_step()
         self._shard = None
+        self._shard_stacked = None
         if mesh is not None:
-            from ..parallel.mesh import shard_batch_fn, replicate
+            from ..parallel.mesh import (shard_batch_fn,
+                                         shard_stacked_batch_fn, replicate)
 
             self._shard = shard_batch_fn(mesh)
+            self._shard_stacked = shard_stacked_batch_fn(mesh)
             self.params = replicate(mesh, self.params)
             self.state = replicate(mesh, self.state)
             self.opt_state = replicate(mesh, self.opt_state)
@@ -144,7 +152,9 @@ class CTRTrainer:
         emb = {k: v for k, v in params["embedding"].items() if k != "packed"}
         return {**params, "embedding": emb}
 
-    def _build_train_step(self, optimizer):
+    def _make_step_body(self, optimizer):
+        """One un-jitted optimizer step: the shared body of the single-step
+        and scanned (multi-step-per-dispatch) train paths."""
         model = self.model
         sparse_emb = self._sparse_emb
         if sparse_emb:
@@ -157,15 +167,6 @@ class CTRTrainer:
                 eps=self._opt_params.get("eps", 1e-8),
             )
 
-        # Buffer donation is OFF by default: on the axon remote-TPU platform
-        # donating params/opt_state was measured 35% SLOWER per step
-        # (0.74 -> 1.15 ms for the flagship config) — the tunnel runtime
-        # seems to pay an aliasing/sync cost. On a directly-attached TPU,
-        # donation is the usual memory win; flip donate_buffers=True there.
-        jit = (partial(jax.jit, donate_argnums=(0, 1, 2))
-               if self._donate_buffers else jax.jit)
-
-        @jit
         def step(params, opt_state, state, x, y, w, rng):
             if not sparse_emb:
                 def loss_fn(p):
@@ -210,6 +211,48 @@ class CTRTrainer:
 
         return step
 
+    def _jit(self):
+        # Buffer donation is OFF by default: on the axon remote-TPU platform
+        # donating params/opt_state was measured 35% SLOWER per step
+        # (0.74 -> 1.15 ms for the flagship config) — the tunnel runtime
+        # seems to pay an aliasing/sync cost. On a directly-attached TPU,
+        # donation is the usual memory win; flip donate_buffers=True there.
+        return (partial(jax.jit, donate_argnums=(0, 1, 2))
+                if self._donate_buffers else jax.jit)
+
+    def _build_train_step(self, optimizer):
+        return self._jit()(self._make_step_body(optimizer))
+
+    def _build_train_step_scan(self, optimizer):
+        """S optimizer steps per device dispatch via ``lax.scan``.
+
+        Numerically identical to S sequential ``_train_step`` calls (same
+        math, same sequential Adam updates) — pinned by
+        tests/test_metrics_trainer_data.py::test_scan_steps_matches_sequential.
+        The win is dispatch amortization: on the axon remote-TPU platform the
+        per-call host→tunnel→device launch overhead is comparable to the
+        step's compute at batch 4096, so executing S steps inside one XLA
+        program divides that overhead by S. Batches arrive stacked on a new
+        leading axis ``[S, B]``; the per-step RNG is split inside the carry.
+        """
+        body = self._make_step_body(optimizer)
+
+        @self._jit()
+        def scan_step(params, opt_state, state, xs, ys, ws, rng):
+            def f(carry, batch):
+                params, opt_state, state, rng = carry
+                x, y, w = batch
+                rng, k = jax.random.split(rng)
+                params, opt_state, state, loss = body(
+                    params, opt_state, state, x, y, w, k)
+                return (params, opt_state, state, rng), loss
+
+            (params, opt_state, state, _), losses = jax.lax.scan(
+                f, (params, opt_state, state, rng), (xs, ys, ws))
+            return params, opt_state, state, losses
+
+        return scan_step
+
     def _build_eval_step(self):
         model = self.model
         # opt-in Pallas fused inference (ops/pallas): numerically equal to
@@ -239,18 +282,67 @@ class CTRTrainer:
     # ------------------------------------------------------------------
 
     def train_one_epoch(self, data_loader, log_interval: int = 10):
-        total_loss = 0.0
-        for i, (x, y, w) in enumerate(data_loader):
+        # Losses stay on device until a log boundary: float(loss) every step
+        # would force a host sync per dispatch and serialize the pipeline.
+        pending, done = [], 0
+        n_total = len(data_loader)
+
+        def flush():
+            nonlocal pending
+            if pending:
+                mean = float(np.mean([np.mean(np.asarray(l)) for l in pending]))
+                print(f"  step {done}/{n_total} loss {mean:.5f}", flush=True)
+                pending = []
+
+        if self._train_step_scan is None:
+            for x, y, w in data_loader:
+                xb, yb, wb = self._device_batch(x, y, w)
+                self.rng, k = jax.random.split(self.rng)
+                (self.params, self.opt_state, self.state,
+                 loss) = self._train_step(
+                    self.params, self.opt_state, self.state, xb, yb, wb, k)
+                pending.append(loss)
+                done += 1
+                if done % log_interval == 0:
+                    flush()
+            flush()
+            return
+
+        # scanned path: stack S batches on a new leading axis, one dispatch
+        buf = []
+        for batch in data_loader:
+            buf.append(batch)
+            if len(buf) == self.scan_steps:
+                pending.append(self._dispatch_scan(buf))
+                done += len(buf)
+                buf = []
+                if done % log_interval < self.scan_steps:
+                    flush()
+        for x, y, w in buf:  # remainder < scan_steps: single steps
             xb, yb, wb = self._device_batch(x, y, w)
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, self.state, loss = self._train_step(
-                self.params, self.opt_state, self.state, xb, yb, wb, k
-            )
-            total_loss += float(loss)
-            if (i + 1) % log_interval == 0:
-                print(f"  step {i + 1}/{len(data_loader)} loss "
-                      f"{total_loss / log_interval:.5f}", flush=True)
-                total_loss = 0.0
+                self.params, self.opt_state, self.state, xb, yb, wb, k)
+            pending.append(loss)
+            done += 1
+        flush()
+
+    def _dispatch_scan(self, batches):
+        """Stack ``scan_steps`` host batches to [S, B] and run one scanned
+        dispatch. Returns the [S] per-step loss array (on device)."""
+        xs = {k: np.stack([b[0][k] for b in batches])
+              for k in batches[0][0]}
+        ys = np.stack([np.asarray(b[1], np.float32) for b in batches])
+        ws = np.stack([b[2] for b in batches])
+        xb = {k: jnp.asarray(v) for k, v in xs.items()}
+        yb, wb = jnp.asarray(ys), jnp.asarray(ws)
+        if self._shard_stacked is not None:
+            xb, yb, wb = self._shard_stacked(xb, yb, wb)
+        self.rng, k = jax.random.split(self.rng)
+        (self.params, self.opt_state, self.state,
+         losses) = self._train_step_scan(
+            self.params, self.opt_state, self.state, xb, yb, wb, k)
+        return losses
 
     def fit(self, train_dataloader, val_dataloader=None):
         for epoch_i in range(self.epoch_i, self.n_epoch):
@@ -265,6 +357,9 @@ class CTRTrainer:
                 self.optimizer = self._opt_fn(**p)
                 self._lr_now = p["lr"]
                 self._train_step = self._build_train_step(self.optimizer)
+                if self.scan_steps > 1:
+                    self._train_step_scan = self._build_train_step_scan(
+                        self.optimizer)
             self.train_one_epoch(train_dataloader)
             if val_dataloader:
                 auc, logloss = self.evaluate(self.model, val_dataloader)

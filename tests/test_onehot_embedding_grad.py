@@ -1,0 +1,113 @@
+"""Scatter-free embedding backward (ops/embedding.mxu_gather).
+
+On TPU, XLA lowers the scatter-add transpose of ``table[ids]`` to a
+serialized per-row loop (~5.7 ms for the flagship batch vs ~0.27 ms for the
+same segment-sum as one-hot matmuls on the MXU). These tests force the
+one-hot mode on CPU and pin exact agreement with the autodiff scatter-add.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scenario_wise_rec_tpu.core import config
+from scenario_wise_rec_tpu.core.features import (DenseFeature, SequenceFeature,
+                                                 SparseFeature)
+from scenario_wise_rec_tpu.ops.embedding import EmbeddingCollection, mxu_gather
+
+
+@pytest.fixture
+def onehot_mode():
+    config.set_embedding_grad_mode("onehot")
+    yield
+    config.set_embedding_grad_mode("auto")
+
+
+def _grad(fn, *args):
+    return jax.grad(lambda t: fn(t).sum())(*args)
+
+
+def test_mxu_gather_multi_column_grads_match_scatter(onehot_mode):
+    rng = np.random.default_rng(0)
+    vocabs = [7, 11, 5]
+    offsets = np.cumsum([0] + vocabs[:-1])
+    partition = tuple((int(o), v) for o, v in zip(offsets, vocabs))
+    table = jnp.asarray(rng.standard_normal((sum(vocabs), 3)).astype(np.float32))
+    b = 16
+    # duplicate ids on purpose (col 2 aliases col 0's span)
+    ids = np.stack([
+        rng.integers(0, vocabs[0], b),
+        rng.integers(0, vocabs[1], b) + offsets[1],
+        rng.integers(0, vocabs[0], b),
+    ], axis=1).astype(np.int32)
+    spans = (partition[0], partition[1], partition[0])
+    ids = jnp.asarray(ids)
+
+    g_onehot = _grad(lambda t: mxu_gather(t, ids, spans, partition) ** 2, table)
+    g_scatter = _grad(lambda t: (t[ids]) ** 2, table)
+    np.testing.assert_allclose(np.asarray(g_onehot), np.asarray(g_scatter),
+                               rtol=1e-6, atol=1e-6)
+    # forward identical
+    np.testing.assert_array_equal(
+        np.asarray(mxu_gather(table, ids, spans, partition)),
+        np.asarray(table[ids]))
+
+
+def test_mxu_gather_single_span_sequence_shape(onehot_mode):
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.standard_normal((20, 4)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(5, 15, (8, 6)).astype(np.int32))  # [B, L]
+    span = ((5, 10),)
+    partition = ((0, 5), (5, 10), (15, 5))
+    g1 = _grad(lambda t: jnp.sin(mxu_gather(t, ids, span, partition)), table)
+    g2 = _grad(lambda t: jnp.sin(t[ids]), table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+    # untouched partition blocks are exactly zero
+    assert np.all(np.asarray(g1[:5]) == 0) and np.all(np.asarray(g1[15:]) == 0)
+
+
+def test_model_grads_match_between_modes():
+    """Full-model gradient parity: onehot vs scatter embedding backward."""
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.train.loss import bce_loss
+
+    feats = (
+        [SparseFeature(f"s{i}", vocab_size=30, embed_dim=4) for i in range(3)]
+        + [SparseFeature("alias", vocab_size=30, embed_dim=4, shared_with="s0")]
+        + [SequenceFeature("seq", vocab_size=30, embed_dim=4, pooling="mean",
+                           shared_with="s1")]
+        + [DenseFeature("d0")]
+    )
+    model = MMOE(feats, 2, n_expert=2, expert_params={"dims": [8]},
+                 tower_params={"dims": [4]})
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    b = 32
+    x = {f"s{i}": jnp.asarray(rng.integers(0, 30, b).astype(np.int32))
+         for i in range(3)}
+    x["alias"] = jnp.asarray(rng.integers(0, 30, b).astype(np.int32))
+    x["seq"] = jnp.asarray(rng.integers(-1, 30, (b, 5)).astype(np.int32))
+    x["d0"] = jnp.asarray(rng.normal(size=b).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(rng.integers(0, 2, b).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+    w = jnp.ones((b,), jnp.float32)
+
+    def loss_fn(p):
+        probs, _ = model.apply(p, state, x, train=True,
+                               rng=jax.random.PRNGKey(1))
+        return bce_loss(probs, y, w)
+
+    grads = {}
+    for mode in ("scatter", "onehot"):
+        config.set_embedding_grad_mode(mode)
+        try:
+            grads[mode] = jax.grad(loss_fn)(params)
+        finally:
+            config.set_embedding_grad_mode("auto")
+
+    for a, b_ in zip(jax.tree_util.tree_leaves(grads["scatter"]),
+                     jax.tree_util.tree_leaves(grads["onehot"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
