@@ -12,9 +12,15 @@ Modes (env vars, default = full-parity f32 dense-Adam):
   SWR_BF16=1        bf16 matmul inputs, f32 accumulation
   SWR_VOCAB=N       per-feature vocab (default 20000)
   SWR_BATCH=N       batch size (default 4096)
-  SWR_SCAN=S        S optimizer steps per dispatch via lax.scan (default 1;
+  SWR_SCAN=S        S optimizer steps per dispatch via lax.scan (default 64;
                     numerically identical to S single steps — amortizes the
-                    axon tunnel's per-dispatch launch overhead)
+                    ~2ms per-dispatch boundary cost of the remote-TPU
+                    runtime; set SWR_SCAN=1 for the single-dispatch path)
+
+Timing uses a REAL device-to-host fetch as the barrier:
+``jax.block_until_ready`` is a no-op on the axon remote-TPU platform
+(measured: returns in 0.7ms while the fetch of the same value takes the
+full execution time), so any timing based on it only measures enqueue rate.
 
 ``vs_baseline`` compares against the PyTorch reference's measured
 throughput for the identical model/batch on this host's CPU (the
@@ -36,7 +42,7 @@ VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
 STEPS = int(os.environ.get("SWR_STEPS", 100))
 SPARSE = os.environ.get("SWR_SPARSE_EMB", "0") == "1"
 BF16 = os.environ.get("SWR_BF16", "0") == "1"
-SCAN = int(os.environ.get("SWR_SCAN", 1))
+SCAN = int(os.environ.get("SWR_SCAN", 64))
 
 
 def main():
@@ -77,25 +83,29 @@ def main():
         ws = jnp.broadcast_to(w, (SCAN,) + w.shape)
         raw = trainer._train_step_scan
         step = lambda p, o, s, _x, _y, _w, k: raw(p, o, s, xs, ys, ws, k)
-        n_calls = max(1, STEPS // SCAN)
+        n_calls = max(3, STEPS // SCAN)
     else:
         step = trainer._train_step
         n_calls = STEPS
 
+    def sync(v):
+        # real barrier: block_until_ready is a no-op on the axon platform
+        return float(np.asarray(v).ravel()[-1])
+
     key = jax.random.PRNGKey(1)
-    # warmup (compile)
+    # warmup (compile), synced
     for _ in range(3):
         key, k = jax.random.split(key)
         params, opt_state, state, loss = step(params, opt_state, state,
                                               x, y, w, k)
-    jax.block_until_ready(loss)
+    sync(loss)
 
     t0 = time.perf_counter()
     for _ in range(n_calls):
         key, k = jax.random.split(key)
         params, opt_state, state, loss = step(params, opt_state, state,
                                               x, y, w, k)
-    jax.block_until_ready(loss)
+    sync(loss)
     dt = time.perf_counter() - t0
     examples_per_s = n_calls * (SCAN if SCAN > 1 else 1) * BATCH / dt
 
