@@ -4,6 +4,7 @@ from .dataset import (
     DataGenerator,
     PredictIterable,
 )
+from .prefetch import Prefetcher, prefetch
 from .utils import df_to_dict, read_csv_fast, reduce_mem_usage
 from ..core.features import get_auto_embedding_dim
 
@@ -12,6 +13,8 @@ __all__ = [
     "ColumnarDataset",
     "DataGenerator",
     "PredictIterable",
+    "Prefetcher",
+    "prefetch",
     "df_to_dict",
     "read_csv_fast",
     "reduce_mem_usage",

@@ -32,6 +32,7 @@ import numpy as np
 import optax
 
 from . import checkpoint as ckpt_lib
+from ..data.prefetch import prefetch
 from .callback import EarlyStopper
 from .loss import bce_loss
 from .metrics import auc_score, log_loss_score
@@ -75,6 +76,7 @@ class CTRTrainer:
         fused_inference: bool = False,
         donate_buffers: bool = False,
         scan_steps: int = 1,
+        prefetch_depth: int = 2,
     ):
         self.model = model
         self.data_set_type = data_set_type
@@ -127,6 +129,9 @@ class CTRTrainer:
         self._fused_inference = bool(fused_inference)
         self._donate_buffers = bool(donate_buffers)
         self.scan_steps = max(1, int(scan_steps))
+        # Host batch prep (slice / [S,B] stack) runs on a prefetch thread so
+        # it overlaps device execution (data/prefetch.py); 0 disables.
+        self.prefetch_depth = max(0, int(prefetch_depth))
         self._train_step = self._build_train_step(self.optimizer)
         self._train_step_scan = (
             self._build_train_step_scan(self.optimizer)
@@ -295,7 +300,7 @@ class CTRTrainer:
                 pending = []
 
         if self._train_step_scan is None:
-            for x, y, w in data_loader:
+            for x, y, w in prefetch(data_loader, self.prefetch_depth):
                 xb, yb, wb = self._device_batch(x, y, w)
                 self.rng, k = jax.random.split(self.rng)
                 (self.params, self.opt_state, self.state,
@@ -308,32 +313,52 @@ class CTRTrainer:
             flush()
             return
 
-        # scanned path: stack S batches on a new leading axis, one dispatch
+        # scanned path: S batches stacked to [S, B] per dispatch; the stack
+        # (real memcpy work) runs on the prefetch thread, off the dispatch
+        # critical path
+        for kind, payload in prefetch(self._scan_producer(data_loader),
+                                      self.prefetch_depth):
+            if kind == "scan":
+                pending.append(self._dispatch_scan(payload))
+                done += self.scan_steps
+                if done % log_interval < self.scan_steps:
+                    flush()
+            else:  # remainder < scan_steps: single steps
+                x, y, w = payload
+                xb, yb, wb = self._device_batch(x, y, w)
+                self.rng, k = jax.random.split(self.rng)
+                (self.params, self.opt_state, self.state,
+                 loss) = self._train_step(
+                    self.params, self.opt_state, self.state, xb, yb, wb, k)
+                pending.append(loss)
+                done += 1
+        flush()
+
+    def _scan_producer(self, data_loader):
+        """Group the loader into ``("scan", stacked)`` items of ``scan_steps``
+        batches (stacked host-side to [S, B]) plus trailing ``("single", b)``
+        remainders."""
         buf = []
         for batch in data_loader:
             buf.append(batch)
             if len(buf) == self.scan_steps:
-                pending.append(self._dispatch_scan(buf))
-                done += len(buf)
+                yield "scan", self._stack_host(buf)
                 buf = []
-                if done % log_interval < self.scan_steps:
-                    flush()
-        for x, y, w in buf:  # remainder < scan_steps: single steps
-            xb, yb, wb = self._device_batch(x, y, w)
-            self.rng, k = jax.random.split(self.rng)
-            self.params, self.opt_state, self.state, loss = self._train_step(
-                self.params, self.opt_state, self.state, xb, yb, wb, k)
-            pending.append(loss)
-            done += 1
-        flush()
+        for b in buf:
+            yield "single", b
 
-    def _dispatch_scan(self, batches):
-        """Stack ``scan_steps`` host batches to [S, B] and run one scanned
-        dispatch. Returns the [S] per-step loss array (on device)."""
+    @staticmethod
+    def _stack_host(batches):
         xs = {k: np.stack([b[0][k] for b in batches])
               for k in batches[0][0]}
         ys = np.stack([np.asarray(b[1], np.float32) for b in batches])
         ws = np.stack([b[2] for b in batches])
+        return xs, ys, ws
+
+    def _dispatch_scan(self, stacked):
+        """Run one scanned dispatch on host-stacked [S, B] arrays. Returns
+        the [S] per-step loss array (on device)."""
+        xs, ys, ws = stacked
         xb = {k: jnp.asarray(v) for k, v in xs.items()}
         yb, wb = jnp.asarray(ys), jnp.asarray(ws)
         if self._shard_stacked is not None:
@@ -382,7 +407,7 @@ class CTRTrainer:
     def _predict_loader(self, data_loader):
         """Run the jitted eval step over a loader; returns (y, p, domain, w)."""
         ys, ps, ds, ws = [], [], [], []
-        for x, y, w in data_loader:
+        for x, y, w in prefetch(data_loader, self.prefetch_depth):
             xb, yb, wb = self._device_batch(x, y, w)
             probs = self._eval_step(self.params, self.state, xb)
             keep = np.asarray(w) > 0
