@@ -9,3 +9,9 @@ data-parallel path.
 """
 
 __version__ = "0.1.0"
+
+from .core.config import enable_persistent_compilation_cache
+
+# Remote-TPU compiles cost minutes per program; cache them across processes.
+# Opt out with SWR_NO_COMPILE_CACHE=1 (see core/config.py).
+enable_persistent_compilation_cache()

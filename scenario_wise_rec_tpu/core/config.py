@@ -72,3 +72,27 @@ def einsum(spec: str, *args):
         args = tuple(a.astype(_compute_dtype) for a in args)
         return jnp.einsum(spec, *args, preferred_element_type=jnp.float32)
     return jnp.einsum(spec, *args)
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at a local directory.
+
+    The axon remote-compile service costs 3-15 MINUTES per distinct XLA
+    program; the persistent cache cuts a warm re-run of bench.py from ~10min
+    to ~24s (measured). No-op if the user already configured a cache dir
+    (``JAX_COMPILATION_CACHE_DIR`` env or jax.config) or opted out with
+    ``SWR_NO_COMPILE_CACHE=1``. Safe on every backend.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("SWR_NO_COMPILE_CACHE") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.path.expanduser("~/.cache/scenario_wise_rec_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)

@@ -153,3 +153,31 @@ class PLE(Model):
         )  # [D, B, 1]
         new_state["towers"] = towers_s
         return domain_select(jax.nn.sigmoid(ys), did), new_state
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward via the Pallas fused CGC kernel
+        (ops/pallas/ple_infer.py); numerically equivalent to
+        ``apply(train=False)`` with BatchNorm constant-folded."""
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.ple_infer import LevelSpec, ple_fused_infer
+
+        assert self.tower.act.name == "relu"
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        level_specs = []
+        for lvl, (expert, gate, gate_shared) in enumerate(self.levels):
+            assert expert.act.name == "relu" and gate.act.name == "softmax"
+            lp, ls = params["levels"][lvl], state["levels"][lvl]
+            spec, _ = fold_stacked_mlp_eval(lp["spec"], ls["spec"])
+            shared, _ = fold_stacked_mlp_eval(lp["shared"], ls["shared"])
+            gates, _ = fold_stacked_mlp_eval(lp["gates"], ls["gates"])
+            gs = None
+            if gate_shared is not None:
+                assert gate_shared.act.name == "softmax"
+                gs, _ = fold_stacked_mlp_eval(lp["gate_shared"],
+                                              ls["gate_shared"])
+            level_specs.append(LevelSpec(spec, shared, gates, gs))
+        towers, tower_out = fold_stacked_mlp_eval(params["towers"],
+                                                  state["towers"])
+        return ple_fused_infer(emb, did, level_specs, towers, tower_out)

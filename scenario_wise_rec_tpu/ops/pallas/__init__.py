@@ -12,7 +12,8 @@ numerical equality with the reference-parity ``model.apply`` path).
 
 from .folding import fold_stacked_mlp_eval
 from .mmoe_infer import mmoe_fused_infer
+from .ple_infer import ple_fused_infer
 from .tower_infer import trunk_towers_fused_infer
 
-__all__ = ["fold_stacked_mlp_eval", "mmoe_fused_infer",
+__all__ = ["fold_stacked_mlp_eval", "mmoe_fused_infer", "ple_fused_infer",
            "trunk_towers_fused_infer"]

@@ -1,7 +1,8 @@
 """Serving throughput: fused Pallas inference kernel vs op-by-op XLA eval.
 
-Flagship MMOE Ali-CCP shape (same as bench.py), eval path only.
-Prints one JSON line per variant.
+Flagship Ali-CCP shape (same as bench.py), eval path only. ``SWR_MODEL``
+picks the model (mmoe | sharedbottom | ple — each has a fused Pallas eval
+path, ops/pallas/). Prints one JSON line per variant.
 """
 
 import json
@@ -17,6 +18,27 @@ BATCH = int(os.environ.get("SWR_BATCH", 4096))
 N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
 VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
 STEPS = 50
+MODEL = os.environ.get("SWR_MODEL", "mmoe").lower()
+
+
+def _build_model(features):
+    from scenario_wise_rec_tpu.models import MMOE, PLE, SharedBottom
+
+    if MODEL == "mmoe":
+        return MMOE(features, DOMAINS, n_expert=DOMAINS,
+                    expert_params={"dims": [256, 128, 64, 32, 16, 8]},
+                    tower_params={"dims": [16]})
+    if MODEL == "sharedbottom":
+        return SharedBottom(features, DOMAINS,
+                            bottom_params={"dims": [256, 128, 64, 32, 16, 8]},
+                            tower_params={"dims": [16]})
+    if MODEL == "ple":
+        # reference Ali-CCP PLE ladder (run_ali_ccp…py:142-146)
+        return PLE(features, DOMAINS, n_level=1, n_expert_specific=2,
+                   n_expert_shared=2,
+                   expert_params={"dims": [256, 128, 64, 32, 16, 8]},
+                   tower_params={"dims": [16]})
+    raise SystemExit(f"unknown SWR_MODEL={MODEL}")
 
 
 def main():
@@ -24,14 +46,11 @@ def main():
     import jax.numpy as jnp
 
     from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
-    from scenario_wise_rec_tpu.models import MMOE
 
     sparse = [SparseFeature(f"s{i}", vocab_size=VOCAB, embed_dim=16)
               for i in range(N_SPARSE)]
     dense = [DenseFeature(f"d{i}") for i in range(N_DENSE)]
-    model = MMOE(dense + sparse, DOMAINS, n_expert=DOMAINS,
-                 expert_params={"dims": [256, 128, 64, 32, 16, 8]},
-                 tower_params={"dims": [16]})
+    model = _build_model(dense + sparse)
     r = np.random.default_rng(0)
     x = {f"s{i}": jnp.asarray(r.integers(0, VOCAB, BATCH).astype(np.int32))
          for i in range(N_SPARSE)}
@@ -52,6 +71,7 @@ def main():
         # real barrier: jax.block_until_ready is a no-op on the axon platform
         return float(np.asarray(v).ravel()[-1])
 
+    results = {}
     for name, fn in (("xla_opbyop", eval_xla), ("pallas_fused", eval_fused)):
         out = fn(params, state, x)
         sync(out)
@@ -60,11 +80,19 @@ def main():
             out = fn(params, state, x)
         sync(out)
         dt = time.perf_counter() - t0
+        results[name] = STEPS * BATCH / dt
         print(json.dumps({
-            "metric": f"infer_throughput_mmoe_{name}",
-            "value": round(STEPS * BATCH / dt, 1),
+            "metric": f"infer_throughput_{MODEL}_{name}",
+            "value": round(results[name], 1),
             "unit": "examples/s/chip",
-        }))
+        }), flush=True)
+
+    # numerical agreement on the real device (not just interpret mode)
+    a = np.asarray(eval_xla(params, state, x))
+    b = np.asarray(eval_fused(params, state, x))
+    err = float(np.max(np.abs(a - b)))
+    print(json.dumps({"metric": f"infer_fused_max_abs_err_{MODEL}",
+                      "value": err, "unit": "prob"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -109,3 +109,41 @@ def test_mmoe_fused_infer_under_jit():
     got = jax.jit(model.apply_fused_eval)(params, state, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def _ple_setup(batch=50, n_level=2, seed=0):
+    from scenario_wise_rec_tpu.models import PLE
+
+    r = np.random.default_rng(seed)
+    feats = ([SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+              for i in range(4)] + [DenseFeature("d0")])
+    model = PLE(feats, domain_num=3, n_level=n_level, n_expert_specific=2,
+                n_expert_shared=2, expert_params={"dims": [16, 8]},
+                tower_params={"dims": [4]})
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, batch)) for i in range(4)}
+    x["d0"] = jnp.asarray(r.normal(size=batch).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, batch))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(6))
+    # make BN running stats non-trivial so folding is actually exercised
+    def perturb(path, a):
+        return a + jnp.abs(jnp.asarray(
+            np.random.default_rng(7).normal(0, 0.05, a.shape))).astype(a.dtype)
+    state = jax.tree_util.tree_map(lambda a: perturb(None, a), state)
+    return model, params, state, x
+
+
+def test_ple_fused_infer_matches_apply():
+    model, params, state, x = _ple_setup()
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ple_fused_infer_single_level_ragged_batch():
+    # 1 level => no shared gate; batch 37 exercises the pad+slice path
+    model, params, state, x = _ple_setup(batch=37, n_level=1, seed=9)
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
