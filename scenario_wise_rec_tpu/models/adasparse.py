@@ -105,3 +105,29 @@ class AdaSparse(Model):
                                           alpha) * h
         y = linear_apply(params["final"], h)[:, 0]
         return jax.nn.sigmoid(y), {"alpha": new_alpha, "layers": new_bn}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)`` (BN folded to affines; ``alpha`` folded into
+        the pruner weights; ops/pallas/gated_infer.py)."""
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.gated_infer import adasparse_fused_infer
+
+        assert self.act.name == "relu"
+        form = self.pruners[0].form
+        alpha = state["alpha"]
+        sce = self.sce_embedding.apply(params["sce_embedding"], x,
+                                       self.sce_features, squeeze_dim=True)
+        agn = self.agn_embedding.apply(params["agn_embedding"], x,
+                                       self.agn_features, squeeze_dim=True)
+        # Binarization/Fusion scale the pre-sigmoid value by alpha
+        # (layers.py:291-305); Scaling does not.
+        scale = 1.0 if form == "Scaling" else alpha
+        pruner_ws = [p["w"] * scale for p in params["pruners"]]
+        layer_stages, _ = fold_stacked_mlp_eval(params, state)
+        return adasparse_fused_infer(
+            sce, agn, pruner_ws, layer_stages,
+            (params["final"]["w"], params["final"]["b"]),
+            form=form, epsilon=self.pruners[0].epsilon,
+            beta=self.pruners[0].beta,
+        )

@@ -59,3 +59,20 @@ class EPNet(Model):
         y, mlp_s = self.mlp.apply(params["mlp"], state["mlp"], agn * gate,
                                   train, km)
         return jax.nn.sigmoid(y)[:, 0], {"mlp": mlp_s}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)`` (ops/pallas/gated_infer.py)."""
+        from ..ops.pallas.gated_infer import epnet_fused_infer
+
+        sce = self.sce_embedding.apply(params["sce_embedding"], x,
+                                       self.sce_features, squeeze_dim=True)
+        agn = self.agn_embedding.apply(params["agn_embedding"], x,
+                                       self.agn_features, squeeze_dim=True)
+        g = params["gatenu"]
+        head = params["mlp"]["out"]
+        return epnet_fused_infer(
+            sce, agn,
+            (g["l1"]["w"], g["l1"]["b"]), (g["l2"]["w"], g["l2"]["b"]),
+            (head["w"], head["b"]), gemma=self.gatenu.gemma,
+        )

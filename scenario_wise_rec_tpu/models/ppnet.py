@@ -110,3 +110,31 @@ class PPNet(Model):
             params["towers"], state["towers"], keys
         )  # [D, B, 1]
         return domain_select(ys, did), {"towers": towers_s}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)`` (BN folded; ops/pallas/gated_infer.py)."""
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.gated_infer import ppnet_fused_infer
+
+        for mlp in self.tower.mlps:
+            assert mlp.act.name == "relu"
+        did = domain_ids(x)
+        id_x = self.id_embedding.apply(params["id_embedding"], x,
+                                       self.id_features, squeeze_dim=True)
+        agn_x = self.agn_embedding.apply(params["agn_embedding"], x,
+                                         self.agn_features, squeeze_dim=True)
+        gate_input = jnp.concatenate([id_x, agn_x], axis=1)
+
+        tp, ts = params["towers"], state["towers"]
+        layer_stages, gate_l1s, gate_l2s = [], [], []
+        for i in range(len(self.tower.mlps)):
+            stages, _ = fold_stacked_mlp_eval(tp["mlps"][i], ts["mlps"][i])
+            layer_stages.append(stages[0])
+            g = tp["gates"][i]
+            gate_l1s.append((g["l1"]["w"], g["l1"]["b"]))
+            gate_l2s.append((g["l2"]["w"], g["l2"]["b"]))
+        final = (tp["final"]["w"], tp["final"]["b"])
+        return ppnet_fused_infer(gate_input, did, layer_stages, gate_l1s,
+                                 gate_l2s, final,
+                                 gemma=self.tower.gates[0].gemma)

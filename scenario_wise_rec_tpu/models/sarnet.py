@@ -110,3 +110,28 @@ class Sarnet(Model):
                                           train, kf)
         probs = jax.nn.sigmoid(y)[:, 0]
         return probs, {"shared": shared_s, "spec": spec_s, "final": final_s}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)`` (debias-expert BN→Linear folded by
+        folding.fold_bn_linear_eval; ops/pallas/sarnet_infer.py)."""
+        from ..ops.pallas.folding import (fold_bn_linear_eval,
+                                          fold_stacked_mlp_eval)
+        from ..ops.pallas.sarnet_infer import sarnet_fused_infer
+
+        assert self.final_mlp.act.name == "relu"
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        shared = fold_bn_linear_eval(params["shared"]["bn"],
+                                     state["shared"]["bn"],
+                                     params["shared"]["lin"])
+        spec = fold_bn_linear_eval(params["spec"]["bn"], state["spec"]["bn"],
+                                   params["spec"]["lin"])
+        final_stages, final_out = fold_stacked_mlp_eval(params["final"],
+                                                        state["final"])
+        return sarnet_fused_infer(
+            emb, did, params["dom_w"], params["dom_b"], shared, spec,
+            (params["gate"]["w"], params["gate"]["b"]),
+            final_stages, final_out,
+        )

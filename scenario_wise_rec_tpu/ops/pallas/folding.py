@@ -41,3 +41,19 @@ def fold_stacked_mlp_eval(params, state) -> Tuple[List[Affine], Optional[Affine]
     out = params.get("out")
     out_stage = (out["w"], out["b"]) if out is not None else None
     return stages, out_stage
+
+
+def fold_bn_linear_eval(bn_params, bn_state, lin_params) -> Affine:
+    """Fold the *reversed* order ``Linear(BN(x))`` into one affine.
+
+    SAR-Net's DebiasExpertNet normalizes BEFORE the linear (reference
+    sarnet.py:13-21): ``(x - m)·s·W + b`` with ``s = gamma/sqrt(var+eps)``
+    becomes ``x W' + b'`` where ``W' = diag(s)·W`` (scale the *rows* of W)
+    and ``b' = b + (beta - m·s) @ W``. Works on stacked leaves too (leading
+    member axes broadcast).
+    """
+    scale = bn_params["gamma"] / jnp.sqrt(bn_state["var"] + BN_EPS)
+    shift = bn_params["beta"] - bn_state["mean"] * scale
+    w = lin_params["w"] * scale[..., :, None]
+    b = lin_params["b"] + jnp.einsum("...i,...io->...o", shift, lin_params["w"])
+    return w, b

@@ -1,8 +1,9 @@
 """Serving throughput: fused Pallas inference kernel vs op-by-op XLA eval.
 
 Flagship Ali-CCP shape (same as bench.py), eval path only. ``SWR_MODEL``
-picks the model (mmoe | sharedbottom | ple — each has a fused Pallas eval
-path, ops/pallas/). Prints one JSON line per variant.
+picks the model (mmoe | sharedbottom | ple | epnet | ppnet | adasparse |
+sarnet — each has a fused Pallas eval path, ops/pallas/). Prints one JSON
+line per variant.
 """
 
 import json
@@ -17,13 +18,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 BATCH = int(os.environ.get("SWR_BATCH", 4096))
 N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
 VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
-STEPS = 50
+STEPS = int(os.environ.get("SWR_STEPS", 50))
 MODEL = os.environ.get("SWR_MODEL", "mmoe").lower()
 
 
 def _build_model(features):
-    from scenario_wise_rec_tpu.models import MMOE, PLE, SharedBottom
+    from scenario_wise_rec_tpu.core import SparseFeature
+    from scenario_wise_rec_tpu.models import (MMOE, PLE, AdaSparse, EPNet,
+                                              PPNet, Sarnet, SharedBottom)
 
+    # gated-family splits mirror the Ali-CCP scenario-emb / ppnet loader
+    # variants (run_ali_ccp…py:37-74, :76-115)
+    sce = [SparseFeature("domain_indicator", vocab_size=DOMAINS, embed_dim=16)]
+    sparse = [f for f in features if isinstance(f, SparseFeature)]
+    if MODEL == "epnet":
+        return EPNet(sce_features=sce, agn_features=features,
+                     fcn_dims=[256, 128, 64, 32, 16, 8])
+    if MODEL == "ppnet":
+        return PPNet(id_features=sparse[:2], agn_features=features,
+                     domain_num=DOMAINS, fcn_dims=[256, 128, 64, 32, 16, 8])
+    if MODEL == "adasparse":
+        return AdaSparse(sce_features=sce, agn_features=sparse,
+                         form="Fusion",
+                         mlp_params={"dims": [256, 128, 64, 32, 16, 8],
+                                     "dropout": 0.2, "activation": "relu"})
+    if MODEL == "sarnet":
+        return Sarnet(features, DOMAINS, domain_shared_expert_num=8,
+                      domain_specific_expert_num=2)
     if MODEL == "mmoe":
         return MMOE(features, DOMAINS, n_expert=DOMAINS,
                     expert_params={"dims": [256, 128, 64, 32, 16, 8]},

@@ -84,16 +84,24 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
+    def sync(out):
+        # real barrier: block_until_ready is a no-op on the axon remote-TPU
+        # platform (see bench.py) — fetch one scalar instead; the single
+        # execution stream serializes everything enqueued before it.
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        return float(np.asarray(leaf).ravel()[-1])
+
     def timeit(name, fn, *args):
         out = fn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = fn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         ms = (time.perf_counter() - t0) / STEPS * 1e3
         print(json.dumps({"stage": name, "ms_per_step": round(ms, 4),
-                          "examples_per_s": round(BATCH / ms * 1e3, 1)}))
+                          "examples_per_s": round(BATCH / ms * 1e3, 1)}),
+              flush=True)
 
     timeit("emb_only", emb_only, params, x)
     timeit("fwd", fwd, params, state, x)

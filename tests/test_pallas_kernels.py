@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
 from scenario_wise_rec_tpu.models import MMOE
@@ -147,3 +148,115 @@ def test_ple_fused_infer_single_level_ragged_batch():
     got = jax.jit(model.apply_fused_eval)(params, state, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Gated family (EPNet / PPNet / AdaSparse) + SAR-Net fused kernels
+# ---------------------------------------------------------------------------
+
+
+def _gated_features(vocab=32, n_sparse=4, n_dense=2, domains=3):
+    sparse = [SparseFeature(f"s{i}", vocab_size=vocab, embed_dim=8)
+              for i in range(n_sparse)]
+    dense = [DenseFeature(f"d{i}") for i in range(n_dense)]
+    sce = [SparseFeature("domain_indicator", vocab_size=domains, embed_dim=8)]
+    ids = [SparseFeature("uid", vocab_size=vocab, embed_dim=8)]
+    return sparse, dense, sce, ids
+
+
+def _gated_batch(batch, vocab=32, n_sparse=4, n_dense=2, domains=3, seed=0):
+    r = np.random.default_rng(seed)
+    x = {f"s{i}": jnp.asarray(r.integers(0, vocab, batch))
+         for i in range(n_sparse)}
+    x.update({f"d{i}": jnp.asarray(r.normal(size=batch).astype(np.float32))
+              for i in range(n_dense)})
+    x["uid"] = jnp.asarray(r.integers(0, vocab, batch))
+    x["domain_indicator"] = jnp.asarray(r.integers(0, domains, batch))
+    return x
+
+
+def _perturb_state(state, seed=7):
+    r = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda a: a + jnp.abs(jnp.asarray(
+            r.normal(0, 0.05, a.shape))).astype(a.dtype), state)
+
+
+def test_epnet_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import EPNet
+
+    sparse, dense, sce, _ = _gated_features()
+    model = EPNet(sce_features=sce, agn_features=sparse + dense,
+                  fcn_dims=[32, 16])
+    x = _gated_batch(45, seed=1)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(2))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ppnet_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import PPNet
+
+    sparse, dense, sce, ids = _gated_features()
+    model = PPNet(id_features=ids, agn_features=sparse + dense + sce,
+                  domain_num=3, fcn_dims=[32, 16])
+    x = _gated_batch(50, seed=2)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(3))
+    state = _perturb_state(state)
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("form", ["Binarization", "Scaling", "Fusion"])
+def test_adasparse_fused_infer_matches_apply(form):
+    from scenario_wise_rec_tpu.models import AdaSparse
+
+    sparse, _, sce, _ = _gated_features()
+    model = AdaSparse(sce_features=sce, agn_features=sparse, form=form,
+                      mlp_params={"dims": [32, 16], "dropout": 0.2,
+                                  "activation": "relu"})
+    x = _gated_batch(37, seed=3)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(4))
+    state = {"alpha": state["alpha"] + 0.37,
+             "layers": _perturb_state(state["layers"])}
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sarnet_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import Sarnet
+
+    sparse, dense, _, _ = _gated_features()
+    model = Sarnet(sparse + dense, domain_num=3,
+                   domain_shared_expert_num=4, domain_specific_expert_num=2)
+    x = _gated_batch(45, seed=5)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(6))
+    state = _perturb_state(state)
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fold_bn_linear_eval_matches_apply(np_rng):
+    from scenario_wise_rec_tpu.ops.nn import (batchnorm_apply, batchnorm_init,
+                                              linear_apply, linear_init)
+    from scenario_wise_rec_tpu.ops.pallas import fold_bn_linear_eval
+
+    bn_p, bn_s = batchnorm_init(12)
+    bn_s = {k: v + jnp.asarray(np_rng.normal(0, 0.1, v.shape) ** 2,
+                               v.dtype) for k, v in bn_s.items()}
+    lin = linear_init(jax.random.PRNGKey(0), 12, 5)
+    x = jnp.asarray(np_rng.normal(size=(16, 12)).astype(np.float32))
+    h, _ = batchnorm_apply(bn_p, bn_s, x, train=False)
+    want = linear_apply(lin, h)
+    w, b = fold_bn_linear_eval(bn_p, bn_s, lin)
+    got = x @ w + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
