@@ -107,9 +107,13 @@ class AdaSparse(Model):
         return jax.nn.sigmoid(y), {"alpha": new_alpha, "layers": new_bn}
 
     def apply_fused_eval(self, params, state, x):
-        """Eval forward through the Pallas fused kernel — numerically equal
-        to ``apply(train=False)`` (BN folded to affines; ``alpha`` folded into
-        the pruner weights; ops/pallas/gated_infer.py)."""
+        """Eval forward through the Pallas fused kernel — equal to
+        ``apply(train=False)`` up to float reassociation at the ``sign``
+        threshold (BN folded to affines; ``alpha`` folded into the pruner
+        weights, so Binarization/Fusion compute ``x @ (w*alpha)`` instead of
+        ``(x @ w) * alpha`` — a row whose pre-sigmoid value sits exactly at
+        ``epsilon`` could flip its hard-threshold factor;
+        ops/pallas/gated_infer.py)."""
         from ..ops.pallas.folding import fold_stacked_mlp_eval
         from ..ops.pallas.gated_infer import adasparse_fused_infer
 

@@ -65,6 +65,9 @@ class EPNet(Model):
         to ``apply(train=False)`` (ops/pallas/gated_infer.py)."""
         from ..ops.pallas.gated_infer import epnet_fused_infer
 
+        assert self.mlp.output_layer, (
+            "epnet fused inference needs the MLP head (fcn_dims built with "
+            "output_layer=True); this model was built without one")
         sce = self.sce_embedding.apply(params["sce_embedding"], x,
                                        self.sce_features, squeeze_dim=True)
         agn = self.agn_embedding.apply(params["agn_embedding"], x,

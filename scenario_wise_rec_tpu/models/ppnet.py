@@ -130,6 +130,12 @@ class PPNet(Model):
         layer_stages, gate_l1s, gate_l2s = [], [], []
         for i in range(len(self.tower.mlps)):
             stages, _ = fold_stacked_mlp_eval(tp["mlps"][i], ts["mlps"][i])
+            # _PPTowerBlock builds strictly single-layer MLPs per stage; the
+            # fused kernel relies on that (a silent stages[0] would drop
+            # layers of a future multi-layer block)
+            assert len(stages) == 1, (
+                f"PPNet fused kernel expects 1-layer tower stages, "
+                f"got {len(stages)}")
             layer_stages.append(stages[0])
             g = tp["gates"][i]
             gate_l1s.append((g["l1"]["w"], g["l1"]["b"]))

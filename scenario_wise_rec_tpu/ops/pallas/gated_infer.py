@@ -28,26 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import dot as _dot, full_spec as _full_spec, pad_rows as _pad_rows, row_spec as _row_spec
+
 Affine = Tuple[jnp.ndarray, jnp.ndarray]
 
 
-def _full_spec(arr):
-    nd = arr.ndim
-    return pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd,
-                        memory_space=pltpu.VMEM)
 
 
-def _row_spec(tb, width):
-    return pl.BlockSpec((tb, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _pad_rows(arr, pad):
-    return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1)) if pad else arr
-
-
-def _dot(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------

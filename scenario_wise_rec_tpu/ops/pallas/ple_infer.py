@@ -27,13 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import full_spec as _full_spec
+
 Affine = Tuple[jnp.ndarray, jnp.ndarray]
 
-
-def _full_spec(arr):
-    nd = arr.ndim
-    return pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd,
-                        memory_space=pltpu.VMEM)
 
 
 class LevelSpec:

@@ -43,5 +43,32 @@ def place_params(mesh: Mesh, params):
     )
 
 
+def place_opt_state(mesh: Mesh, opt_state, params):
+    """Place optimizer state on the mesh: Adam moment pytrees (``mu``/``nu``
+    leaves mirroring the params tree, e.g. optax ``ScaleByAdamState``) get
+    their parameter's sharding — so the row-sharded packed table's moments
+    are row-sharded too — and every other leaf (counts, scalars) is
+    replicated."""
+    pspecs = param_specs(params)
+    repl = NamedSharding(mesh, P())
+
+    def put(tree, specs):
+        return jax.tree_util.tree_map(
+            lambda l, s: jax.device_put(l, NamedSharding(mesh, s)),
+            tree, specs,
+        )
+
+    def place_item(item):
+        if hasattr(item, "mu") and hasattr(item, "nu") and hasattr(item, "_replace"):
+            return item._replace(mu=put(item.mu, pspecs),
+                                 nu=put(item.nu, pspecs))
+        return jax.device_put(item, repl)
+
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        # optax.chain state: one item per transform
+        return tuple(place_item(i) for i in opt_state)
+    return place_item(opt_state)
+
+
 def batch_spec() -> P:
     return P("data")

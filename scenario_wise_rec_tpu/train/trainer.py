@@ -82,7 +82,6 @@ class CTRTrainer:
         self.data_set_type = data_set_type
         if optimizer_params is None:
             optimizer_params = {"lr": 1e-3, "weight_decay": 1e-5}
-        schedule = None
         self._epoch_schedule = None
         if scheduler_fn is not None:
             # scheduler_fn(**scheduler_params) -> epoch -> multiplier
@@ -101,8 +100,7 @@ class CTRTrainer:
             and getattr(model, "embedding", None) is not None
             and getattr(model.embedding, "packed_names", None)
         )
-        self.optimizer = optimizer_fn(**optimizer_params, schedule=schedule) \
-            if schedule is not None else optimizer_fn(**optimizer_params)
+        self.optimizer = optimizer_fn(**optimizer_params)
         self._base_lr = optimizer_params.get("lr", 1e-3)
         self._opt_params = dict(optimizer_params)
         self._opt_fn = optimizer_fn
@@ -140,14 +138,40 @@ class CTRTrainer:
         self._shard = None
         self._shard_stacked = None
         if mesh is not None:
-            from ..parallel.mesh import (shard_batch_fn,
-                                         shard_stacked_batch_fn, replicate)
+            self._place_on_mesh(mesh)
 
-            self._shard = shard_batch_fn(mesh)
-            self._shard_stacked = shard_stacked_batch_fn(mesh)
-            self.params = replicate(mesh, self.params)
-            self.state = replicate(mesh, self.state)
-            self.opt_state = replicate(mesh, self.opt_state)
+    def _place_on_mesh(self, mesh):
+        """Distribute trainer buffers over the ``(data, embed)`` mesh.
+
+        The packed embedding mega-table (the only component that scales —
+        SURVEY §2.4) is row-sharded over ``embed``; its Adam moments mirror
+        that sharding (dense optax state AND the sparse-mode row-Adam
+        ``mu``/``nu``); every other param/state leaf is replicated. Batches
+        are sharded over ``data`` — XLA inserts the gradient all-reduce.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import (replicate, shard_batch_fn,
+                                     shard_stacked_batch_fn)
+        from ..parallel.sharding_rules import place_opt_state, place_params
+
+        self._shard = shard_batch_fn(mesh)
+        self._shard_stacked = shard_stacked_batch_fn(mesh)
+        self.params = place_params(mesh, self.params)
+        self.state = replicate(mesh, self.state)
+        if self._sparse_emb:
+            table_sh = NamedSharding(mesh, P("embed", None))
+            emb = self.opt_state["emb"]
+            self.opt_state = {
+                "base": place_opt_state(mesh, self.opt_state["base"],
+                                        self._strip_packed(self.params)),
+                "emb": {"mu": jax.device_put(emb["mu"], table_sh),
+                        "nu": jax.device_put(emb["nu"], table_sh),
+                        "step": replicate(mesh, emb["step"])},
+            }
+        else:
+            self.opt_state = place_opt_state(mesh, self.opt_state,
+                                             self.params)
 
     # ------------------------------------------------------------------
 

@@ -128,6 +128,119 @@ def test_trainer_sparse_mode_on_mesh():
         np.asarray(p1["embedding"]["packed"]), atol=2e-5)
 
 
+def test_trainer_dense_row_sharded_matches_single_device():
+    """CTRTrainer(mesh=4x2): the user-facing trainer must row-shard the packed
+    table AND its dense-Adam moments over ``embed`` (VERDICT r1 #3), and the
+    sharded step must match the single-device step."""
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, x, y = _model_and_batch(batch=32)
+    w = jnp.ones((32,), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+
+    tr1 = CTRTrainer(model, seed=3)
+    p1, o1, s1, loss1 = tr1._train_step(
+        tr1.params, tr1.opt_state, tr1.state, xb, jnp.asarray(y), w,
+        jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, mesh=mesh, seed=3)
+    table = tr.params["embedding"]["packed"]
+    assert max(s.data.shape[0] for s in table.addressable_shards) \
+        < table.shape[0], "packed table not row-sharded by the trainer"
+    mu = tr.opt_state[1].mu["embedding"]["packed"]
+    assert max(s.data.shape[0] for s in mu.addressable_shards) \
+        < table.shape[0], "Adam moments not mirroring the table sharding"
+
+    xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
+    p8, o8, s8, loss8 = tr._train_step(
+        tr.params, tr.opt_state, tr.state, xs, ys, ws, jax.random.PRNGKey(0))
+    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
+    # Adam's first-step g/sqrt(g^2) normalization amplifies fp reduction-order
+    # noise in near-zero grads to O(lr) (see the grads-only comparison in
+    # test_dp_train_step_matches_single_device) — hence the loose param atol;
+    # the second step's LOSS (computed on the updated params) is the tight
+    # functional check.
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    _, _, _, l1b = tr1._train_step(p1, o1, s1, xb, jnp.asarray(y), w,
+                                   jax.random.PRNGKey(1))
+    _, _, _, l8b = tr._train_step(p8, o8, s8, xs, ys, ws,
+                                  jax.random.PRNGKey(1))
+    assert float(l1b) == pytest.approx(float(l8b), abs=5e-5)
+
+
+def test_trainer_sparse_row_sharded_matches_single_device():
+    """Row-sharded table x row-sparse Adam (winner-scatter dedup): the
+    combination that matters at production vocab (VERDICT r1 #7). n_embed=2
+    so the scatter/dedup runs against a genuinely distributed table."""
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, x, y = _model_and_batch(batch=32)
+    w = jnp.ones((32,), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+
+    tr1 = CTRTrainer(model, sparse_embedding_updates=True, seed=3)
+    p1, o1, s1, loss1 = tr1._train_step(
+        tr1.params, tr1.opt_state, tr1.state, xb, jnp.asarray(y), w,
+        jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True, seed=3)
+    table = tr.params["embedding"]["packed"]
+    assert max(s.data.shape[0] for s in table.addressable_shards) \
+        < table.shape[0]
+    mu = tr.opt_state["emb"]["mu"]
+    assert max(s.data.shape[0] for s in mu.addressable_shards) \
+        < table.shape[0], "sparse-Adam moments not row-sharded"
+
+    xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
+    p8, o8, s8, loss8 = tr._train_step(
+        tr.params, tr.opt_state, tr.state, xs, ys, ws, jax.random.PRNGKey(0))
+    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
+    np.testing.assert_allclose(np.asarray(p8["embedding"]["packed"]),
+                               np.asarray(p1["embedding"]["packed"]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o8["emb"]["mu"]),
+                               np.asarray(o1["emb"]["mu"]), atol=1e-6)
+
+
+def test_fit_on_mesh_e2e():
+    """End-to-end CTRTrainer.fit() on an 8-device mesh with scan_steps>1:
+    multi-batch training + val eval + early-stop bookkeeping all run under
+    SPMD (VERDICT r1 #8)."""
+    import pandas as pd
+
+    from scenario_wise_rec_tpu.data import DataGenerator
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    rng = np.random.default_rng(0)
+    n = 256
+    df = pd.DataFrame({
+        "s0": rng.integers(0, 40, n), "s1": rng.integers(0, 40, n),
+        "s2": rng.integers(0, 40, n),
+        "d0": rng.normal(size=n).astype(np.float32),
+        "domain_indicator": rng.integers(0, 3, n),
+    })
+    y = pd.Series(rng.integers(0, 2, n).astype(np.float32))
+    sparse = [SparseFeature(f"s{i}", vocab_size=40, embed_dim=8)
+              for i in range(3)]
+    model = MMOE([DenseFeature("d0")] + sparse, 3, n_expert=2,
+                 expert_params={"dims": [16]}, tower_params={"dims": [8]})
+    dg = DataGenerator(df, y)
+    train_dl, val_dl, _ = dg.generate_dataloader(
+        split_ratio=[0.75, 0.125], batch_size=32)
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, mesh=mesh, n_epoch=2, scan_steps=2,
+                    model_path="/tmp", seed=0)
+    tr.fit(train_dl, val_dl)
+    assert tr.early_stopper.best_auc > 0.0
+    table = tr.params["embedding"]["packed"]
+    assert max(s.data.shape[0] for s in table.addressable_shards) \
+        < table.shape[0], "table lost its sharding during fit"
+
+
 def test_param_specs_only_shards_tables():
     model, _, _ = _model_and_batch()
     params, _ = jax.jit(model.init)(jax.random.PRNGKey(0))
