@@ -16,6 +16,10 @@ Modes (env vars, default = full-parity f32 dense-Adam):
                     numerically identical to S single steps — amortizes the
                     ~2ms per-dispatch boundary cost of the remote-TPU
                     runtime; set SWR_SCAN=1 for the single-dispatch path)
+  SWR_TIME_BUDGET=T seconds of timed measurement (default 45): after compile
+                    a calibration dispatch picks the number of timed
+                    dispatches that fits T (floor 3), so the bench finishes
+                    inside the driver's timeout even on a slow session
 
 Timing uses a REAL device-to-host fetch as the barrier:
 ``jax.block_until_ready`` is a no-op on the axon remote-TPU platform
@@ -32,9 +36,16 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    """Progress to stderr: stdout stays reserved for the ONE JSON line, and a
+    driver that times out still sees how far the bench got."""
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
 
 BATCH = int(os.environ.get("SWR_BATCH", 4096))
 N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
@@ -76,6 +87,7 @@ def main():
     y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
     w = jnp.ones((BATCH,), jnp.float32)
 
+    _progress("initializing params (jitted model.init)")
     trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE,
                          scan_steps=SCAN)
     params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
@@ -96,12 +108,30 @@ def main():
         return float(np.asarray(v).ravel()[-1])
 
     key = jax.random.PRNGKey(1)
+    _progress(f"compiling train step (backend={jax.default_backend()}, "
+              f"batch={BATCH}, vocab={VOCAB}, scan={SCAN}; a cold remote "
+              "compile takes minutes, warm persistent cache seconds)")
+    t_c = time.perf_counter()
     # warmup (compile), synced
     for _ in range(3):
         key, k = jax.random.split(key)
         params, opt_state, state, loss = step(params, opt_state, state,
                                               x, y, w, k)
     sync(loss)
+    _progress(f"compiled+warm in {time.perf_counter() - t_c:.1f}s")
+
+    # calibrate: one synced dispatch picks how many timed calls fit the time
+    # budget, so the bench finishes inside the driver's timeout even on a
+    # slow tunnel session (floor 3 dispatches for a stable mean)
+    t_c = time.perf_counter()
+    key, k = jax.random.split(key)
+    params, opt_state, state, loss = step(params, opt_state, state, x, y, w, k)
+    sync(loss)
+    per_call = time.perf_counter() - t_c
+    budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
+    n_calls = max(3, min(n_calls, int(budget / max(per_call, 1e-4))))
+    _progress(f"calibrated {per_call * 1e3:.1f} ms/dispatch -> "
+              f"{n_calls} timed dispatches")
 
     t0 = time.perf_counter()
     for _ in range(n_calls):

@@ -29,6 +29,17 @@ _compute_dtype = None
 # path is numerically exact in f32 (the one-hot factor is 0/1).
 _embedding_grad_mode = "auto"
 
+# Per-feature vocab ceiling for the one-hot backward under "auto": its cost
+# is O(ids · vocab · D) MXU FLOPs per feature and grows linearly in vocab,
+# while the scatter-add's serialized per-row cost is O(ids) and roughly
+# vocab-independent. Measured on v5e b4096 (see README "production vocab"
+# table): one-hot wins 21x at 20k/feature and still wins at 467k/feature
+# (1.9x), but the margin keeps shrinking — past ~1M rows/feature the FLOPs
+# lose. Features above the ceiling fall back to the scatter transpose
+# (ops/embedding.py splits the packed gather by group); at that scale the
+# right tool is sparse_embedding_updates=True, which skips both.
+_onehot_vocab_ceiling = 1_000_000
+
 
 def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:
     global _compute_dtype
@@ -49,12 +60,29 @@ def get_embedding_grad_mode() -> str:
     return _embedding_grad_mode
 
 
-def use_onehot_embedding_grad() -> bool:
-    """Resolve the embedding-grad mode at trace time."""
+def set_onehot_vocab_ceiling(vocab: int) -> None:
+    global _onehot_vocab_ceiling
+    _onehot_vocab_ceiling = int(vocab)
+
+
+def get_onehot_vocab_ceiling() -> int:
+    return _onehot_vocab_ceiling
+
+
+def use_onehot_embedding_grad(max_span_vocab: Optional[int] = None) -> bool:
+    """Resolve the embedding-grad mode at trace time.
+
+    ``max_span_vocab``: the largest per-feature vocab the gather touches;
+    under "auto" a feature group above the ceiling uses the scatter
+    transpose instead (forced "onehot" ignores the ceiling).
+    """
     import jax
 
     if _embedding_grad_mode == "auto":
-        return jax.default_backend() != "cpu"
+        if jax.default_backend() == "cpu":
+            return False
+        return (max_span_vocab is None
+                or max_span_vocab <= _onehot_vocab_ceiling)
     return _embedding_grad_mode == "onehot"
 
 

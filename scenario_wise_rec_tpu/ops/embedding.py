@@ -136,9 +136,13 @@ def mxu_gather(table, ids, spans, partition):
 
     Mode is resolved at trace time (core/config.use_onehot_embedding_grad):
     CPU keeps the scatter-add transpose (fast there; the one-hot matmul is
-    FLOP-prohibitive without an MXU).
+    FLOP-prohibitive without an MXU), and under "auto" so does any gather
+    whose largest span vocab exceeds ``config.get_onehot_vocab_ceiling()``
+    (the one-hot backward's FLOPs grow linearly in vocab; the scatter's
+    serialized cost does not).
     """
-    if not _cfg.use_onehot_embedding_grad():
+    max_vocab = max(v for _, v in spans)
+    if not _cfg.use_onehot_embedding_grad(max_vocab):
         return table[ids]
     return _gather_onehot_bwd(table, ids, spans, partition)
 
@@ -309,21 +313,34 @@ class EmbeddingCollection:
                 start, size = layout[f.name]
                 packed_cols[f.name] = rows_cache[start:start + size]
         elif plain:
-            off = jnp.asarray(
-                np.array([self.offsets[self._owner(f)] for f in plain], np.int32)
-            )
-            ids = jnp.stack(
-                [x[f.name].astype(jnp.int32) for f in plain], axis=1
-            ) + off[None, :]
-            spans = tuple(
-                (self.offsets[self._owner(f)],
-                 self.owned[self._owner(f)].vocab_size)
-                for f in plain
-            )
-            # [B, F_plain, D] — one gather fwd, scatter-free one-hot bwd
-            gathered = mxu_gather(params["packed"], ids, spans, self.partition)
-            for i, f in enumerate(plain):
-                packed_cols[f.name] = gathered[:, i, :]
+            # split by the one-hot vocab ceiling so one huge-vocab feature
+            # doesn't force the whole batched gather onto either backward
+            ceil = _cfg.get_onehot_vocab_ceiling()
+            groups = [
+                [f for f in plain
+                 if self.owned[self._owner(f)].vocab_size <= ceil],
+                [f for f in plain
+                 if self.owned[self._owner(f)].vocab_size > ceil],
+            ]
+            for group in groups:
+                if not group:
+                    continue
+                off = jnp.asarray(np.array(
+                    [self.offsets[self._owner(f)] for f in group], np.int32))
+                ids = jnp.stack(
+                    [x[f.name].astype(jnp.int32) for f in group], axis=1
+                ) + off[None, :]
+                spans = tuple(
+                    (self.offsets[self._owner(f)],
+                     self.owned[self._owner(f)].vocab_size)
+                    for f in group
+                )
+                # [B, F_group, D] — one gather fwd; bwd is the one-hot
+                # matmul below the ceiling, scatter-add above (mxu_gather)
+                gathered = mxu_gather(params["packed"], ids, spans,
+                                      self.partition)
+                for i, f in enumerate(group):
+                    packed_cols[f.name] = gathered[:, i, :]
 
         sparse_out: List[jnp.ndarray] = []
         dense_out: List[jnp.ndarray] = []

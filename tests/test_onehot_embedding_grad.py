@@ -68,6 +68,58 @@ def test_mxu_gather_single_span_sequence_shape(onehot_mode):
     assert np.all(np.asarray(g1[:5]) == 0) and np.all(np.asarray(g1[15:]) == 0)
 
 
+def test_auto_mode_vocab_ceiling_decision(monkeypatch):
+    """Under "auto" on an accelerator, features above the one-hot vocab
+    ceiling fall back to the scatter transpose (the one-hot backward's FLOPs
+    grow linearly in vocab); forced "onehot" ignores the ceiling."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    config.set_onehot_vocab_ceiling(100_000)
+    try:
+        assert config.use_onehot_embedding_grad(20_000)
+        assert config.use_onehot_embedding_grad(100_000)
+        assert not config.use_onehot_embedding_grad(100_001)
+        assert config.use_onehot_embedding_grad(None)
+        config.set_embedding_grad_mode("onehot")
+        assert config.use_onehot_embedding_grad(10_000_000)
+        config.set_embedding_grad_mode("scatter")
+        assert not config.use_onehot_embedding_grad(1)
+    finally:
+        config.set_embedding_grad_mode("auto")
+        config.set_onehot_vocab_ceiling(1_000_000)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not config.use_onehot_embedding_grad(1)
+
+
+def test_split_gather_groups_match_single_gather():
+    """A ceiling that splits the packed features into below/above groups
+    (two batched gathers in EmbeddingCollection.apply) must not change
+    forward values or gradients."""
+    feats = ([SparseFeature("big", vocab_size=50, embed_dim=4)]
+             + [SparseFeature(f"s{i}", vocab_size=20, embed_dim=4)
+                for i in range(3)])
+    coll = EmbeddingCollection(feats)
+    params = coll.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    b = 16
+    x = {"big": jnp.asarray(rng.integers(0, 50, b).astype(np.int32))}
+    x.update({f"s{i}": jnp.asarray(rng.integers(0, 20, b).astype(np.int32))
+              for i in range(3)})
+
+    def loss(p):
+        return (coll.apply(p, x, feats, squeeze_dim=True) ** 2).sum()
+
+    base_v, base_g = jax.value_and_grad(loss)(params)
+    config.set_onehot_vocab_ceiling(30)  # splits 'big' from the s* group
+    try:
+        split_v, split_g = jax.value_and_grad(loss)(params)
+    finally:
+        config.set_onehot_vocab_ceiling(1_000_000)
+    assert float(base_v) == pytest.approx(float(split_v), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(base_g["packed"]),
+                               np.asarray(split_g["packed"]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_model_grads_match_between_modes():
     """Full-model gradient parity: onehot vs scatter embedding backward."""
     from scenario_wise_rec_tpu.models import MMOE

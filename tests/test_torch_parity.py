@@ -329,6 +329,52 @@ def test_hamur_small_parity(rng, np_rng):
     compare(lambda xx: fwd(params, state, xx), ref, xj, xt, atol=5e-5)
 
 
+def test_hamur_large_parity(rng, np_rng):
+    """7-block backbone, 2 adapter cells, hypernet-BN D-fold advance
+    (reference hamur.py:8-238)."""
+    sparse, dense, r_sparse, r_dense = make_features()
+    fcn = [32, 32, 16, 16, 16, 16, 8]
+    ours = M.HamurLarge(sparse, D_NUM, fcn_dims=fcn, hyper_dims=[8], k=4)
+    params, state = jax.jit(ours.init)(rng)
+    # all-ones u/v init -> catastrophic cancellation (see small test);
+    # randomize BOTH adapters' factors so parity runs at sane magnitudes
+    ks = jax.random.split(jax.random.PRNGKey(12), 8)
+    for j in range(2):
+        a = params["adapters"][j]
+        for i, name in enumerate(["u_down", "v_down", "u_up", "v_up"]):
+            a[name] = 0.1 * jax.random.normal(ks[4 * j + i], a[name].shape)
+    # the reference mutates the hyper_dims list in-place (hamur.py:77) —
+    # pass a fresh copy
+    ref = rm.HamurLarge(r_sparse, D_NUM, fcn_dims=fcn, hyper_dims=[8], k=4)
+    set_embeddings(ref.embedding, ours.embedding, params["embedding"])
+    for d in range(D_NUM):
+        mods = ref.layer_list[d]
+        for i in range(7):  # [Linear, BN, ReLU] x 7 + final Linear
+            set_linear(mods[3 * i], sub(params["blocks"][i]["lin"], d))
+            set_bn(mods[3 * i + 1], sub(params["blocks"][i]["bn"], d))
+        set_linear(mods[21], sub(params["final"], d))
+    lin_mods = [m for m in ref.hyper_net if isinstance(m, torch.nn.Linear)]
+    bn_mods = [m for m in ref.hyper_net if isinstance(m, torch.nn.BatchNorm1d)]
+    for i in range(len(lin_mods)):
+        set_linear(lin_mods[i], params["hyper"][i]["lin"])
+        set_bn(bn_mods[i], params["hyper"][i]["bn"])
+    for j in range(2):  # adapter j: u/v[2j] down, u/v[2j+1] up
+        a = params["adapters"][j]
+        ref.u[2 * j].data = t(a["u_down"])
+        ref.v[2 * j].data = t(a["v_down"])
+        ref.u[2 * j + 1].data = t(a["u_up"])
+        ref.v[2 * j + 1].data = t(a["v_up"])
+        ref.b_list[2 * j].data = t(a["b_down"])
+        ref.b_list[2 * j + 1].data = t(a["b_up"])
+    ref.gamma1.data = t(params["adapters"][0]["gamma"])
+    ref.bias1.data = t(params["adapters"][0]["beta"])
+    ref.gamma2.data = t(params["adapters"][1]["gamma"])
+    ref.bias2.data = t(params["adapters"][1]["beta"])
+    xj, xt = make_batch(np_rng)
+    fwd = jax.jit(lambda p, s, xx: ours.apply(p, s, xx, train=False)[0])
+    compare(lambda xx: fwd(params, state, xx), ref, xj, xt, atol=5e-5)
+
+
 def test_ple_parity(rng, np_rng):
     sparse, dense, r_sparse, r_dense = make_features()
     kw = dict(n_level=2, n_expert_specific=2, n_expert_shared=1,
