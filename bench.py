@@ -12,6 +12,8 @@ Modes (env vars, default = full-parity f32 dense-Adam):
   SWR_BF16=1        bf16 matmul inputs, f32 accumulation
   SWR_VOCAB=N       per-feature vocab (default 20000)
   SWR_BATCH=N       batch size (default 4096)
+  SWR_EMB_GRAD=M    embedding-grad mode: auto|onehot|scatter
+                    (core/config.set_embedding_grad_mode)
   SWR_SCAN=S        S optimizer steps per dispatch via lax.scan (default 64;
                     numerically identical to S single steps — amortizes the
                     ~2ms per-dispatch boundary cost of the remote-TPU
@@ -69,6 +71,9 @@ def main():
 
     if BF16:
         config.set_compute_dtype(jnp.bfloat16)
+    emb_grad = os.environ.get("SWR_EMB_GRAD")
+    if emb_grad:
+        config.set_embedding_grad_mode(emb_grad)
 
     sparse = [SparseFeature(f"s{i}", vocab_size=VOCAB, embed_dim=16)
               for i in range(N_SPARSE)]

@@ -32,13 +32,13 @@ _embedding_grad_mode = "auto"
 # Per-feature vocab ceiling for the one-hot backward under "auto": its cost
 # is O(ids · vocab · D) MXU FLOPs per feature and grows linearly in vocab,
 # while the scatter-add's serialized per-row cost is O(ids) and roughly
-# vocab-independent. Measured on v5e b4096 (see README "production vocab"
-# table): one-hot wins 21x at 20k/feature and still wins at 467k/feature
-# (1.9x), but the margin keeps shrinking — past ~1M rows/feature the FLOPs
-# lose. Features above the ceiling fall back to the scatter transpose
-# (ops/embedding.py splits the packed gather by group); at that scale the
-# right tool is sparse_embedding_updates=True, which skips both.
-_onehot_vocab_ceiling = 1_000_000
+# vocab-independent. Measured on v5e b4096 (README "production vocab"
+# table): one-hot wins 21x at 20k/feature, but at 467k/feature the program
+# does not even finish the remote XLA compile in 25 min — features above
+# the ceiling fall back to the scatter transpose (ops/embedding.py splits
+# the packed gather by group). At that scale the right tool is
+# sparse_embedding_updates=True, which materializes nothing O(vocab).
+_onehot_vocab_ceiling = 100_000
 
 
 def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:

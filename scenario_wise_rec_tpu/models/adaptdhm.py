@@ -105,3 +105,22 @@ class AdaptDHM(Model):
         out = jnp.take_along_axis(h[..., 0].T, router[:, None], axis=1)[:, 0]
         new_state = {"center": new_center if train else state["center"]}
         return out, new_state
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)``: the router is the argmax soft-assignment
+        against the frozen EMA centers (softmax is monotone, so argmax of the
+        logits is identical), computed outside the kernel; the shared⊙cluster
+        FCN + gather runs fused (ops/pallas/adaptdhm_infer.py)."""
+        from ..ops.pallas.adaptdhm_infer import adaptdhm_fused_infer
+
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        router = jnp.argmax(emb @ state["center"].T, axis=1)
+        w0 = params["w"][0]
+        stages = [
+            jnp.stack([w0[i] * params["w"][c + 1][i]
+                       for c in range(self.cluster_num)])
+            for i in range(self.layer_num)
+        ]  # each [C, in, out]
+        return adaptdhm_fused_infer(emb, router, stages)

@@ -169,6 +169,52 @@ class _Hamur(Model):
         out = domain_select(ys, did)
         return out, {"blocks": new_bn, "hyper": hyper_s}
 
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the segmented Pallas kernels — equal to
+        ``apply(train=False)`` up to float reassociation (the adapter
+        contraction is re-associated ``((h·U)·H_b)·V``; per-block BN folded;
+        the adapter norms' batch stats are computed in XLA between segments
+        on the full batch, exactly as apply does; ops/pallas/hamur_infer.py).
+        """
+        from ..ops.nn import BN_EPS
+        from ..ops.pallas.hamur_infer import hamur_fused_infer
+
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+
+        def fold_block(i):
+            blk = params["blocks"][i]
+            bn_s = state["blocks"][i]
+            scale = blk["bn"]["gamma"] * jax.lax.rsqrt(bn_s["var"] + BN_EPS)
+            w = blk["lin"]["w"] * scale[:, None, :]
+            b = (blk["lin"]["b"] - bn_s["mean"]) * scale + blk["bn"]["beta"]
+            return w, b
+
+        hyper_stages = []
+        for i, layer in enumerate(params["hyper"]):
+            bn_s = state["hyper"][i]
+            scale = layer["bn"]["gamma"] * jax.lax.rsqrt(bn_s["var"] + BN_EPS)
+            hyper_stages.append((
+                layer["lin"]["w"] * scale[None, :],
+                (layer["lin"]["b"] - bn_s["mean"]) * scale
+                + layer["bn"]["beta"],
+            ))
+
+        segments, seg = [], []
+        bounds = set(self.adapter_after)
+        for i in range(self.n_blocks):
+            seg.append(fold_block(i))
+            if (i + 1) in bounds:
+                segments.append(seg)
+                seg = []
+        segments.append(seg)  # trailing (possibly empty) pre-final segment
+        return hamur_fused_infer(
+            emb, did, hyper_stages, self.k, segments,
+            list(params["adapters"]),
+            (params["final"]["w"], params["final"]["b"]),
+        )
+
 
 class HamurLarge(_Hamur):
     """7-block backbone with 2 adapter cells (hamur.py:8-238)."""

@@ -126,3 +126,43 @@ class M2M(Model):
         y, new_state["out"] = self.output_mlp.apply(params["out"], state["out"],
                                                     h, train, keys[8])
         return jax.nn.sigmoid(y)[:, 0], new_state
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward: transformer in XLA (cross-example attention is
+        batch-global), everything after it in ONE Pallas kernel — equal to
+        ``apply(train=False)`` up to float reassociation in the generated-
+        weight contractions (BN folded; ops/pallas/m2m_infer.py)."""
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.m2m_infer import m2m_fused_infer
+
+        for mod in (self.expert, self.task_mlp, self.scenario_mlp,
+                    self.vw_mlp, self.vb_mlp, self.tower_w_mlp,
+                    self.tower_b_mlp):
+            assert mod.act.name == "leakyrelu"
+        assert self.output_mlp.act.name == "relu" and \
+            self.output_mlp.output_layer
+
+        dom_emb = self.embedding.apply(params["embedding"], x,
+                                       self.domain_feature, squeeze_dim=True)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        t_out = self.transformer.apply(params["transformer"], emb, emb,
+                                       train=False, rng=None)
+
+        def fold(name):
+            stages, head = fold_stacked_mlp_eval(params[name], state[name])
+            return stages, head
+
+        expert_stages, _ = fold_stacked_mlp_eval(params["experts"],
+                                                 state["experts"])
+        task_stages, _ = fold("task")
+        scen_stages, _ = fold("scenario")
+        vw_stages, _ = fold("vw")
+        vb_stages, _ = fold("vb")
+        tw_stages, _ = fold("tw")
+        tb_stages, _ = fold("tb")
+        out_stages, out_head = fold("out")
+        return m2m_fused_infer(
+            t_out, dom_emb, expert_stages, task_stages, scen_stages,
+            vw_stages, vb_stages, tw_stages, tb_stages, params["v"],
+            out_stages, out_head, E=self.E)

@@ -160,3 +160,47 @@ class M3oE(Model):
             ys.append(jax.nn.sigmoid(linear_apply(t["l2"], h))[:, 0])
         out = domain_select(jnp.stack(ys), did)
         return out, state
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)`` (all per-row math: LayerNorm, not
+        BatchNorm; ops/pallas/m3oe_infer.py). Stacks the per-member Mlp_N
+        layer lists on leading axes; the learnable sigmoid mixing scalars
+        ride into the kernel as [1,1] operands (they stay traced)."""
+        from ..ops.pallas.m3oe_infer import m3oe_fused_infer
+
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+
+        def plain(layers):
+            return [(l["lin"]["w"], l["lin"]["b"], l["ln"]["gamma"],
+                     l["ln"]["beta"]) for l in layers]
+
+        def stacked(members):
+            n_layers = len(members[0])
+            return [
+                tuple(jnp.stack([plain(m)[i][j] for m in members])
+                      for j in range(4))
+                for i in range(n_layers)
+            ]
+
+        star = (params["slot_w"] * params["shared_w"][None],
+                params["slot_b"] + params["shared_b"][None])
+        gates = (jnp.stack([g["w"] for g in params["gates"]]),
+                 jnp.stack([g["b"] for g in params["gates"]]))
+        towers = (
+            jnp.stack([t["l1"]["w"] for t in params["towers"]]),
+            jnp.stack([t["l1"]["b"] for t in params["towers"]]),
+            jnp.stack([t["ln"]["gamma"] for t in params["towers"]]),
+            jnp.stack([t["ln"]["beta"] for t in params["towers"]]),
+            jnp.stack([t["l2"]["w"] for t in params["towers"]]),
+            jnp.stack([t["l2"]["b"] for t in params["towers"]]),
+        )
+        return m3oe_fused_infer(
+            emb, did, star, plain(params["skip"]), plain(params["star_mlp"]),
+            gates, stacked(params["experts"]),
+            stacked(params["domain_experts"]), towers,
+            w_exp=jax.nn.sigmoid(params["w_exp_d"]),
+            w_bal=jax.nn.sigmoid(params["w_bal_d"]),
+        )

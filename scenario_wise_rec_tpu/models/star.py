@@ -116,3 +116,39 @@ class Star(Model):
         out = domain_select(h, did)  # [B]
         probs = jax.nn.sigmoid(out + aux_out[:, 0])
         return probs, {"bn": new_bn, "aux": aux_s}
+
+    def apply_fused_eval(self, params, state, x):
+        """Eval forward through the Pallas fused kernel — numerically equal
+        to ``apply(train=False)`` (per-layer BN folded into the shared⊙domain
+        affines; batch-stat domain-norm mean/rstd computed outside the kernel
+        on the full batch, exactly as apply does; ops/pallas/star_infer.py).
+        """
+        from ..ops.nn import BN_EPS
+        from ..ops.pallas.folding import fold_stacked_mlp_eval
+        from ..ops.pallas.star_infer import star_fused_infer
+
+        assert self.auxnet.act.name == "relu" and self.auxnet.output_layer
+        did = domain_ids(x)
+        emb = self.embedding.apply(params["embedding"], x, self.features,
+                                   squeeze_dim=True)
+        mean = jnp.mean(emb, axis=0)
+        var = jnp.mean((emb - mean) ** 2, axis=0)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        dn = params["dn"]
+        dn_gamma = dn["share_gamma"][None] * dn["gamma"]
+        dn_beta = dn["share_beta"][None] + dn["beta"]
+
+        fcn = params["fcn"]
+        fcn_stages = []
+        for i in range(self.layer_num):
+            w_eff = fcn["share_w"][i][None] * fcn["dom_w"][i]   # [D, in, out]
+            b_eff = fcn["share_b"][i][None] + fcn["dom_b"][i]   # [D, out]
+            scale = fcn["bn"][i]["gamma"] * jax.lax.rsqrt(
+                state["bn"][i]["var"] + BN_EPS)                 # [D, out]
+            w = w_eff * scale[:, None, :]
+            b = (b_eff - state["bn"][i]["mean"]) * scale + fcn["bn"][i]["beta"]
+            fcn_stages.append((w, b))
+        aux_stages, aux_out = fold_stacked_mlp_eval(params["aux"],
+                                                    state["aux"])
+        return star_fused_infer(emb, did, mean, rstd, dn_gamma, dn_beta,
+                                fcn_stages, aux_stages, aux_out)

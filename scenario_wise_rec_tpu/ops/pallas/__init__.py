@@ -10,15 +10,21 @@ Kernels run compiled on TPU and in interpreter mode elsewhere (tests pin
 numerical equality with the reference-parity ``model.apply`` path).
 """
 
+from .adaptdhm_infer import adaptdhm_fused_infer
 from .folding import fold_bn_linear_eval, fold_stacked_mlp_eval
+from .hamur_infer import hamur_fused_infer
 from .gated_infer import (adasparse_fused_infer, epnet_fused_infer,
                           ppnet_fused_infer)
+from .m3oe_infer import m3oe_fused_infer
 from .mmoe_infer import mmoe_fused_infer
 from .ple_infer import ple_fused_infer
 from .sarnet_infer import sarnet_fused_infer
+from .star_infer import star_fused_infer
 from .tower_infer import trunk_towers_fused_infer
 
 __all__ = ["fold_bn_linear_eval", "fold_stacked_mlp_eval",
            "adasparse_fused_infer", "epnet_fused_infer", "ppnet_fused_infer",
            "mmoe_fused_infer", "ple_fused_infer", "sarnet_fused_infer",
+           "star_fused_infer", "adaptdhm_fused_infer", "m3oe_fused_infer",
+           "hamur_fused_infer",
            "trunk_towers_fused_infer"]

@@ -2,8 +2,8 @@
 
 Flagship Ali-CCP shape (same as bench.py), eval path only. ``SWR_MODEL``
 picks the model (mmoe | sharedbottom | ple | epnet | ppnet | adasparse |
-sarnet — each has a fused Pallas eval path, ops/pallas/). Prints one JSON
-line per variant.
+sarnet | star | hamur | hamurlarge | adaptdhm | m3oe — each has a fused
+Pallas eval path, ops/pallas/). Prints one JSON line per variant.
 """
 
 import json
@@ -24,8 +24,10 @@ MODEL = os.environ.get("SWR_MODEL", "mmoe").lower()
 
 def _build_model(features):
     from scenario_wise_rec_tpu.core import SparseFeature
-    from scenario_wise_rec_tpu.models import (MMOE, PLE, AdaSparse, EPNet,
-                                              PPNet, Sarnet, SharedBottom)
+    from scenario_wise_rec_tpu.models import (MMOE, PLE, AdaSparse, AdaptDHM,
+                                              EPNet, HamurLarge, HamurSmall,
+                                              M3oE, PPNet, Sarnet,
+                                              SharedBottom, Star)
 
     # gated-family splits mirror the Ali-CCP scenario-emb / ppnet loader
     # variants (run_ali_ccp…py:37-74, :76-115)
@@ -59,6 +61,24 @@ def _build_model(features):
                    n_expert_shared=2,
                    expert_params={"dims": [256, 128, 64, 32, 16, 8]},
                    tower_params={"dims": [16]})
+    # Ali-CCP ladders (run_ali_ccp…py:134-163)
+    if MODEL == "star":
+        return Star(features, DOMAINS, fcn_dims=[256, 128, 64, 32, 16, 8],
+                    aux_dims=[16])
+    if MODEL == "hamur":  # HamurSmall (the kuairand/douban/mind ladder)
+        return HamurSmall(features, DOMAINS, fcn_dims=[256, 128],
+                          hyper_dims=[64], k=35)
+    if MODEL == "hamurlarge":
+        return HamurLarge(features, DOMAINS,
+                          fcn_dims=[256, 128, 64, 64, 32, 16, 8],
+                          hyper_dims=[64], k=65)
+    if MODEL == "adaptdhm":
+        return AdaptDHM(features=sparse + sce,
+                        fcn_dims=[256, 128, 64, 32, 16, 8],
+                        cluster_num=3, beta=0.9)
+    if MODEL == "m3oe":
+        return M3oE(features, DOMAINS, fcn_dims=[512, 256, 256, 64],
+                    expert_num=4, exp_d=1, exp_t=1, bal_d=1, bal_t=1)
     raise SystemExit(f"unknown SWR_MODEL={MODEL}")
 
 

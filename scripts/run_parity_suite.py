@@ -1,0 +1,229 @@
+"""AUC/logloss parity harness: ours vs the unmodified PyTorch reference.
+
+Implements BASELINE.md's acceptance protocol (SURVEY §6): run every runnable
+model on the bundled sample datasets over a seed set with identical flags,
+through BOTH frameworks — ours (scripts/run_*.py) and the reference
+(/root/reference/scripts/run_*_multi_domain.py, trainer protocol at
+scenario_wise_rec/trainers/ctr_trainer.py:99-152) — then aggregate
+mean±std of overall AUC/logloss per (dataset, model) and report the deltas.
+Parity target: |Δ mean AUC| within the cross-seed spread of the reference
+itself (the samples are 100-8000 rows; per-seed values are noisy by design,
+the distributions are the comparable object).
+
+Ours runs on JAX-CPU (forced before backend init) so the sweep is
+reproducible anywhere and does not contend for the single TPU chip.
+
+Usage:
+  python run_parity_suite.py --datasets ali_ccp kuairand douban mind \
+      --seeds 2020 2021 2022 2023 2024 --epoch 3 --out ../parity_results
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # before any backend init
+
+import numpy as np  # noqa: E402
+
+REF_ROOT = "/root/reference"
+REF_SCRIPTS = {
+    "ali_ccp": "run_ali_ccp_ctr_ranking_multi_domain.py",
+    "kuairand": "run_kuairand_ctr_multi_domain.py",
+    "douban": "run_douban_rank_multi_domain.py",
+    "mind": "run_mind_ctr_multi_domain.py",
+}
+DATA_PATHS = {
+    "ali_ccp": f"{REF_ROOT}/scripts/data/ali-ccp",
+    "kuairand": f"{REF_ROOT}/scripts/data/kuairand",
+    "douban": f"{REF_ROOT}/scripts/data/douban",
+    "mind": f"{REF_ROOT}/scripts/data/mind",
+}
+# the reference if/elif ladders use inconsistent casing per script (SURVEY
+# §2.2 C14); map canonical -> what each reference script expects
+REF_NAME = {
+    "ali_ccp": {"sharedbottom": "Sharedbottom"},
+    "kuairand": {"sharedbottom": "SharedBottom", "mmoe": "MMOE", "ple": "PLE"},
+    "douban": {"sharedbottom": "SharedBottom", "mmoe": "MMOE", "ple": "PLE"},
+    "mind": {"sharedbottom": "SharedBottom", "mmoe": "MMOE", "ple": "PLE"},
+}
+ALL_MODELS = ["sharedbottom", "mmoe", "ple", "star", "sarnet", "epnet",
+              "ppnet", "adasparse", "m2m", "adaptdhm", "hamur", "m3oe"]
+
+
+def run_ref(dataset, model, seed, args, outdir) -> dict | None:
+    """Run the unmodified reference script; parse metrics from its stdout.
+
+    Stdout (ctr_trainer's `test auc: ...` + per-domain prints) is the robust
+    channel: the reference's own CSV writer hard-codes the full domain count
+    and CRASHES on samples where a domain is empty (e.g. the bundled
+    kuairand sample covers one tab; run_kuairand...py:158-170 indexes
+    domain_auc[1] out of range) — after the metrics are printed.
+    """
+    import re
+
+    name = REF_NAME.get(dataset, {}).get(model, model)
+    script = os.path.join(REF_ROOT, "scripts", REF_SCRIPTS[dataset])
+    env = dict(os.environ, PYTHONPATH=REF_ROOT)
+    cmd = [sys.executable, script, "--dataset_path", DATA_PATHS[dataset],
+           "--model_name", name, "--seed", str(seed),
+           "--epoch", str(args.epoch), "--batch_size", str(args.batch_size),
+           "--learning_rate", str(args.learning_rate),
+           "--weight_decay", str(args.weight_decay),
+           "--device", "cpu", "--save_dir", outdir]
+    # the reference writes its CSV artifact into the CWD (e.g.
+    # run_kuairand...py:158) — run from outdir
+    r = subprocess.run(cmd, cwd=outdir, env=env, capture_output=True,
+                       text=True, timeout=1800)
+    m = re.search(r"test auc: ([\d.naN]+) \| test logloss: ([\d.naN]+)",
+                  r.stdout)
+    if not m:
+        print(f"REF FAILED {dataset}/{model}/{seed}:\n{r.stderr[-2000:]}",
+              flush=True)
+        return None
+    out = {"auc": float(m.group(1)), "log": float(m.group(2))}
+    for dm in re.finditer(r"test domain (\d+) auc: ([\d.naN]+) \| "
+                          r"test domain \d+ logloss: ([\d.naN]+)", r.stdout):
+        out[f"auc{dm.group(1)}"] = float(dm.group(2))
+        out[f"log{dm.group(1)}"] = float(dm.group(3))
+    return out
+
+
+def run_ours(dataset, model, seed, args, outdir) -> str | None:
+    import run_benchmark_suite as suite
+
+    ns = argparse.Namespace(
+        dataset_path=DATA_PATHS[dataset], epoch=args.epoch,
+        learning_rate=args.learning_rate, batch_size=args.batch_size,
+        weight_decay=args.weight_decay, device="cpu", save_dir=outdir,
+        synthetic=False)
+    try:
+        return suite.run_one(dataset, model, seed, ns)
+    except Exception as e:
+        print(f"OURS FAILED {dataset}/{model}/{seed}: {e}", flush=True)
+        return None
+
+
+def read_metrics(path) -> dict | None:
+    """Overall auc/logloss from a result CSV (both frameworks emit the same
+    columns: model, seed, auc, log, auc0, log0, ...)."""
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    hdr, vals = rows[0], rows[1]
+
+    def get(col):
+        v = vals[hdr.index(col)]
+        return float(v) if v not in ("", "None") else np.nan
+
+    out = {"auc": get("auc"), "log": get("log")}
+    d = 0
+    while f"auc{d}" in hdr:
+        out[f"auc{d}"] = get(f"auc{d}")
+        out[f"log{d}"] = get(f"log{d}")
+        d += 1
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="+",
+                    default=["ali_ccp", "kuairand", "douban", "mind"])
+    ap.add_argument("--models", nargs="+", default=ALL_MODELS)
+    ap.add_argument("--seeds", nargs="+", type=int,
+                    default=[2020, 2021, 2022, 2023, 2024])
+    ap.add_argument("--epoch", type=int, default=3)
+    ap.add_argument("--batch_size", type=int, default=4096)
+    ap.add_argument("--learning_rate", type=float, default=1e-3)
+    ap.add_argument("--weight_decay", type=float, default=1e-5)
+    ap.add_argument("--out", default="../parity_results")
+    ap.add_argument("--skip_ref", action="store_true")
+    ap.add_argument("--skip_ours", action="store_true")
+    args = ap.parse_args()
+
+    out_ours = os.path.join(args.out, "ours")
+    out_ref = os.path.join(args.out, "reference")
+    os.makedirs(out_ours, exist_ok=True)
+    os.makedirs(out_ref, exist_ok=True)
+
+    results = {}  # (dataset, model, side) -> list of metric dicts
+    for dataset in args.datasets:
+        for model in args.models:
+            for seed in args.seeds:
+                print(f"--- {dataset}/{model}/seed{seed} ---", flush=True)
+                if not args.skip_ours:
+                    m = read_metrics(run_ours(dataset, model, seed, args,
+                                              out_ours))
+                    if m:
+                        results.setdefault((dataset, model, "ours"),
+                                           []).append(m)
+                if not args.skip_ref:
+                    m = run_ref(dataset, model, seed, args, out_ref)
+                    if m:
+                        results.setdefault((dataset, model, "ref"),
+                                           []).append(m)
+    write_report(args, results)
+
+
+def write_report(args, results):
+    lines = [
+        "# PARITY_RESULTS — trained AUC/logloss: ours (JAX/TPU-native, on "
+        "CPU) vs PyTorch reference",
+        "",
+        f"Protocol: bundled sample datasets, seeds {args.seeds}, epoch "
+        f"{args.epoch}, batch {args.batch_size}, lr {args.learning_rate}, "
+        f"wd {args.weight_decay}, Adam+BCE, early-stop per script defaults "
+        "(reference ctr_trainer.py:99-152). Values are mean±std over seeds; "
+        "Δ = ours − reference. Samples are 100–8000 rows, so single-seed "
+        "values are noisy; parity = |Δ| within the reference's own "
+        "cross-seed std.",
+        "",
+    ]
+    for dataset in args.datasets:
+        lines.append(f"## {dataset}")
+        lines.append("")
+        lines.append("| model | n | ours AUC | ref AUC | ΔAUC | ours logloss "
+                     "| ref logloss | Δlogloss | within 1σ |")
+        lines.append("|---|---|---|---|---|---|---|---|---|")
+        for model in args.models:
+            ours = results.get((dataset, model, "ours"), [])
+            ref = results.get((dataset, model, "ref"), [])
+            if not ours and not ref:
+                continue
+
+            def agg(rows, key):
+                v = np.array([r[key] for r in rows], float)
+                v = v[~np.isnan(v)]
+                return (v.mean(), v.std()) if len(v) else (np.nan, np.nan)
+
+            oa, oas = agg(ours, "auc")
+            ra, ras = agg(ref, "auc")
+            ol, ols = agg(ours, "log")
+            rl, rls = agg(ref, "log")
+            da, dl = oa - ra, ol - rl
+            ok = "yes" if (abs(da) <= max(ras, 1e-12) or np.isnan(da)) \
+                else "NO"
+            lines.append(
+                f"| {model} | {len(ours)}/{len(ref)} "
+                f"| {oa:.4f}±{oas:.4f} | {ra:.4f}±{ras:.4f} | {da:+.4f} "
+                f"| {ol:.4f}±{ols:.4f} | {rl:.4f}±{rls:.4f} | {dl:+.4f} "
+                f"| {ok} |")
+        lines.append("")
+    path = os.path.join(args.out, "PARITY_RESULTS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

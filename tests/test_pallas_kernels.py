@@ -244,6 +244,104 @@ def test_sarnet_fused_infer_matches_apply():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_star_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import Star
+
+    r = np.random.default_rng(17)
+    feats = ([SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+              for i in range(4)] + [DenseFeature("d0")])
+    model = Star(feats, 3, fcn_dims=[16, 8], aux_dims=[8])
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(2))
+    batch = 41  # ragged vs the tile
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, batch)) for i in range(4)}
+    x["d0"] = jnp.asarray(r.normal(size=batch).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, batch))
+    # advance BN running stats so the fold is non-trivial
+    _, state = model.apply(params, state, x, train=True,
+                           rng=jax.random.PRNGKey(3))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_adaptdhm_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import AdaptDHM
+
+    r = np.random.default_rng(19)
+    feats = ([SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+              for i in range(4)] + [DenseFeature("d0")])
+    model = AdaptDHM(feats, fcn_dims=[16, 8], cluster_num=3, beta=0.9)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(4))
+    batch = 43
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, batch)) for i in range(4)}
+    x["d0"] = jnp.asarray(r.normal(size=batch).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, batch))
+    # advance the EMA centers so routing is non-trivial
+    _, state = model.apply(params, state, x, train=True,
+                           rng=jax.random.PRNGKey(5))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_m3oe_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import M3oE
+
+    r = np.random.default_rng(23)
+    feats = ([SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+              for i in range(4)] + [DenseFeature("d0")])
+    model = M3oE(feats, 3, fcn_dims=[32, 16, 16, 8], expert_num=2,
+                 exp_d=0.2, exp_t=0.2, bal_d=0.5, bal_t=0.5)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(6))
+    batch = 39
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, batch)) for i in range(4)}
+    x["d0"] = jnp.asarray(r.normal(size=batch).astype(np.float32))
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, batch))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # and under jit (the trainer's fused _eval_step path)
+    got_jit = jax.jit(model.apply_fused_eval)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got_jit), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["small", "large"])
+def test_hamur_fused_infer_matches_apply(variant):
+    from scenario_wise_rec_tpu.models import HamurLarge, HamurSmall
+
+    r = np.random.default_rng(29)
+    feats = [SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+             for i in range(4)]
+    if variant == "small":
+        model = HamurSmall(feats, 3, fcn_dims=[16, 8], hyper_dims=[8], k=4)
+    else:
+        model = HamurLarge(feats, 3, fcn_dims=[32, 32, 16, 16, 16, 16, 8],
+                           hyper_dims=[8], k=4)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(7))
+    # all-ones u/v init causes catastrophic cancellation (see torch-parity
+    # tests); randomize so the comparison runs at sane magnitudes
+    ks = jax.random.split(jax.random.PRNGKey(8), 4 * len(params["adapters"]))
+    for j, a in enumerate(params["adapters"]):
+        for i, name in enumerate(["u_down", "v_down", "u_up", "v_up"]):
+            a[name] = 0.1 * jax.random.normal(ks[4 * j + i], a[name].shape)
+    batch = 45
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, batch)) for i in range(4)}
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, batch))
+    # advance BN running stats so folding is non-trivial
+    _, state = model.apply(params, state, x, train=True,
+                           rng=jax.random.PRNGKey(9))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    # adapter contraction is re-associated ((h·U)·H)·V — tolerance covers
+    # the float reassociation
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fold_bn_linear_eval_matches_apply(np_rng):
     from scenario_wise_rec_tpu.ops.nn import (batchnorm_apply, batchnorm_init,
                                               linear_apply, linear_init)
@@ -260,3 +358,22 @@ def test_fold_bn_linear_eval_matches_apply(np_rng):
     got = x @ w + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_m2m_fused_infer_matches_apply():
+    from scenario_wise_rec_tpu.models import M2M
+
+    r = np.random.default_rng(31)
+    dom = [SparseFeature("domain_indicator", vocab_size=3, embed_dim=8)]
+    feats = [SparseFeature(f"s{i}", vocab_size=32, embed_dim=8)
+             for i in range(4)] + dom
+    model = M2M(feats, dom, domain_num=3, num_experts=4,
+                expert_output_size=8)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(10))
+    batch = 33  # ragged tile; transformer mixes across ALL rows either way
+    x = {f"s{i}": jnp.asarray(r.integers(0, 32, batch)) for i in range(4)}
+    x["domain_indicator"] = jnp.asarray(r.integers(0, 3, batch))
+    want, _ = model.apply(params, state, x, train=False, rng=None)
+    got = model.apply_fused_eval(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
