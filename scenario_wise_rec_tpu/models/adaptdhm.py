@@ -65,13 +65,18 @@ class AdaptDHM(Model):
             params["b"].append(bs)
         return params, {"center": center}
 
-    def _route(self, center, emb, train: bool):
+    def _route(self, center, emb, train: bool, w=None):
         """Soft-assign + EMA refine (adaptdhm.py:70-95)."""
         x = jax.lax.stop_gradient(emb)  # [B, dim]
+        # padded (w=0) rows must not pull on the EMA centers — the reference
+        # never sees them (adaptdhm.py:70-95 refines over real rows only)
+        wc = None if w is None else w.reshape(-1, 1).astype(x.dtype)
         if train:
             for _ in range(3):
                 sij = x @ center.T  # [B, C]
                 rij = jax.nn.softmax(sij, axis=1)
+                if wc is not None:
+                    rij = rij * wc
                 cij = rij.T @ x  # [C, dim]
                 center = _l2norm(self.beta * center + (1 - self.beta) * cij,
                                  axis=1)
@@ -81,10 +86,11 @@ class AdaptDHM(Model):
         router = jnp.argmax(rij, axis=1)  # [B]
         return router, center
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
-        router, new_center = self._route(state["center"], emb, train)
+        router, new_center = self._route(state["center"], emb, train, w)
 
         # dense per-cluster scoring with W0 ⊙ Wd (adaptdhm.py:101-107);
         # stack cluster weights -> one [C, in, out] einsum per layer.
@@ -106,12 +112,14 @@ class AdaptDHM(Model):
         new_state = {"center": new_center if train else state["center"]}
         return out, new_state
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — numerically equal
         to ``apply(train=False)``: the router is the argmax soft-assignment
         against the frozen EMA centers (softmax is monotone, so argmax of the
         logits is identical), computed outside the kernel; the shared⊙cluster
         FCN + gather runs fused (ops/pallas/adaptdhm_infer.py)."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.adaptdhm_infer import adaptdhm_fused_infer
 
         emb = self.embedding.apply(params["embedding"], x, self.features,

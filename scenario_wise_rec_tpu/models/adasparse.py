@@ -79,7 +79,8 @@ class AdaSparse(Model):
             params["pruners"].append(pr.init(keys[4 + 2 * n_layers + i]))
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         # alpha anneal (adasparse.py:61-62), stop-gradded carried state
         alpha = jax.lax.stop_gradient(state["alpha"])
         new_alpha = alpha + self.delta_alpha if train else alpha
@@ -96,7 +97,8 @@ class AdaSparse(Model):
         for i in range(len(self.layer_dims)):
             layer = params["layers"][i]
             h = linear_apply(layer["lin"], h)
-            h, bn_s = batchnorm_apply(layer["bn"], state["layers"][i], h, train)
+            h, bn_s = batchnorm_apply(layer["bn"], state["layers"][i], h, train,
+                                      w)
             new_bn.append(bn_s)
             h = self.act.apply(layer["act"], h)
             if self.dropout_p > 0 and train:
@@ -106,7 +108,7 @@ class AdaSparse(Model):
         y = linear_apply(params["final"], h)[:, 0]
         return jax.nn.sigmoid(y), {"alpha": new_alpha, "layers": new_bn}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — equal to
         ``apply(train=False)`` up to float reassociation at the ``sign``
         threshold (BN folded to affines; ``alpha`` folded into the pruner
@@ -114,6 +116,8 @@ class AdaSparse(Model):
         ``(x @ w) * alpha`` — a row whose pre-sigmoid value sits exactly at
         ``epsilon`` could flip its hard-threshold factor;
         ops/pallas/gated_infer.py)."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.folding import fold_stacked_mlp_eval
         from ..ops.pallas.gated_infer import adasparse_fused_infer
 

@@ -3,7 +3,11 @@
 Every model is a static-config object exposing:
 
 - ``init(rng) -> (params, state)`` — parameter/state pytrees
-- ``apply(params, state, x, train, rng) -> (probs[B], new_state)``
+- ``apply(params, state, x, train, rng, w) -> (probs[B], new_state)``
+  (``w`` = optional [B] 0/1 padding mask: static-shape batches pad ragged
+  tails with weight-0 rows, and every batch-statistics op — BatchNorm train
+  stats, STAR/HAMUR batch-stat norms, AdaptDHM's EMA, M2M's cross-example
+  attention — excludes them; padded rows' outputs are discarded host-side)
 
 ``x`` is a dict of per-column arrays; ``probs`` are post-sigmoid click
 probabilities; ``state`` carries BatchNorm running stats and any forward-time
@@ -43,7 +47,8 @@ class Model:
     def init(self, rng):
         raise NotImplementedError
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         raise NotImplementedError
 
 
@@ -64,7 +69,8 @@ class Base(Model):
     def init(self, rng):
         return {"embedding": self.embedding.init(rng)}, {}
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)

@@ -46,7 +46,8 @@ class EPNet(Model):
         }
         return params, {"mlp": mlp_s}
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         km, = split_rng(rng, 1)
         sce = self.sce_embedding.apply(params["sce_embedding"], x,
                                        self.sce_features, squeeze_dim=True)
@@ -57,12 +58,14 @@ class EPNet(Model):
         )
         gate = self.gatenu.apply(params["gatenu"], gate_in)
         y, mlp_s = self.mlp.apply(params["mlp"], state["mlp"], agn * gate,
-                                  train, km)
+                                  train, km, w)
         return jax.nn.sigmoid(y)[:, 0], {"mlp": mlp_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — numerically equal
         to ``apply(train=False)`` (ops/pallas/gated_infer.py)."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.gated_infer import epnet_fused_infer
 
         assert self.mlp.output_layer, (

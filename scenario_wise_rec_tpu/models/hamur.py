@@ -106,14 +106,15 @@ class _Hamur(Model):
             })
         return params, state
 
-    def _hyper_apply(self, params, state, emb, train):
+    def _hyper_apply(self, params, state, emb, train, w=None):
         """Shared hyper-net; BN state gets the closed-form D-fold EMA update
         (the reference runs the hyper-net once per domain branch)."""
         h = emb
         new_state = []
         for i, layer in enumerate(params["hyper"]):
             h = linear_apply(layer["lin"], h)
-            h, bn_s1 = batchnorm_apply(layer["bn"], state["hyper"][i], h, train)
+            h, bn_s1 = batchnorm_apply(layer["bn"], state["hyper"][i], h, train,
+                                       w)
             if train:
                 # s_D = (1-m)^D s_0 + (1-(1-m)^D) b  ==  D identical updates
                 decay = (1 - BN_MOMENTUM) ** self.domain_num
@@ -129,22 +130,24 @@ class _Hamur(Model):
             h = jax.nn.relu(h)
         return h.reshape(-1, self.k, self.k), new_state
 
-    def _adapter(self, a, h, hyper_out):
+    def _adapter(self, a, h, hyper_out, w=None):
         """One adapter cell on [B, w] (hamur.py:156-198)."""
         w1 = jnp.einsum("mi,bij,jn->bmn", a["u_down"], hyper_out, a["v_down"])
         t = jnp.einsum("bf,bfj->bj", h, w1) + a["b_down"]
         t = jax.nn.sigmoid(t)
         w2 = jnp.einsum("mi,bij,jn->bmn", a["u_up"], hyper_out, a["v_up"])
         t = jnp.einsum("bf,bfj->bj", t, w2) + a["b_up"]
-        t = domain_norm(t, a["gamma"], a["beta"], eps=1e-5, unbiased=True)
+        t = domain_norm(t, a["gamma"], a["beta"], eps=1e-5, unbiased=True,
+                        w=w)
         return t + h
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
         if self.adapter_after:
-            hyper_out, hyper_s = self._hyper_apply(params, state, emb, train)
+            hyper_out, hyper_s = self._hyper_apply(params, state, emb, train, w)
         else:  # MlpNLayer baseline: no adapters, hyper-net unused
             hyper_out, hyper_s = None, state["hyper"]
 
@@ -157,19 +160,19 @@ class _Hamur(Model):
             h = compute_config.einsum("dbi,dio->dbo", h, blk["lin"]["w"]) \
                 + blk["lin"]["b"][:, None, :]
             h, bn_s = stacked_batchnorm_apply(blk["bn"], state["blocks"][i], h,
-                                              train)
+                                              train, w)
             new_bn.append(bn_s)
             h = jax.nn.relu(h)
             if (i + 1) in adapters:
                 a = params["adapters"][adapters[i + 1]]
-                h = jax.vmap(lambda hd: self._adapter(a, hd, hyper_out))(h)
+                h = jax.vmap(lambda hd: self._adapter(a, hd, hyper_out, w))(h)
         h = compute_config.einsum("dbi,dio->dbo", h, params["final"]["w"]) \
             + params["final"]["b"][:, None, :]
         ys = jax.nn.sigmoid(h)  # [D, B, 1]
         out = domain_select(ys, did)
         return out, {"blocks": new_bn, "hyper": hyper_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the segmented Pallas kernels — equal to
         ``apply(train=False)`` up to float reassociation (the adapter
         contraction is re-associated ``((h·U)·H_b)·V``; per-block BN folded;
@@ -212,7 +215,7 @@ class _Hamur(Model):
         return hamur_fused_infer(
             emb, did, hyper_stages, self.k, segments,
             list(params["adapters"]),
-            (params["final"]["w"], params["final"]["b"]),
+            (params["final"]["w"], params["final"]["b"]), w=w,
         )
 
 
@@ -246,5 +249,6 @@ class MlpNLayer(Model):
     def init(self, rng):
         return self._impl.init(rng)
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
-        return self._impl.apply(params, state, x, train, rng)
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
+        return self._impl.apply(params, state, x, train, rng, w)

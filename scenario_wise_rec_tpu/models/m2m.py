@@ -77,7 +77,8 @@ class M2M(Model):
             params[name], state[name] = p, s
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         E, nE = self.E, self.num_experts
         keys = split_rng(rng, 9)
         dom_emb = self.embedding.apply(params["embedding"], x,
@@ -87,16 +88,17 @@ class M2M(Model):
         B = emb.shape[0]
 
         t_out = self.transformer.apply(params["transformer"], emb, emb, train,
-                                       keys[0])  # [B, in] (cross-example mix)
+                                       keys[0], w)  # [B, in] (cross-row mix;
+                                                    # padded keys masked out)
 
         new_state = {}
         scen, new_state["scenario"] = self.scenario_mlp.apply(
-            params["scenario"], state["scenario"], dom_emb, train, keys[1])
+            params["scenario"], state["scenario"], dom_emb, train, keys[1], w)
         task, new_state["task"] = self.task_mlp.apply(
-            params["task"], state["task"], dom_emb, train, keys[2])
+            params["task"], state["task"], dom_emb, train, keys[2], w)
         experts, new_state["experts"] = stacked_mlp_apply(
             self.expert, params["experts"], state["experts"], t_out, train,
-            keys[3])  # [nE, B, E]
+            keys[3], w=w)  # [nE, B, E]
         experts = experts.transpose(1, 0, 2)  # [B, nE, E]
 
         # meta-attention (m2m.py:55-62)
@@ -104,10 +106,10 @@ class M2M(Model):
             [experts, jnp.broadcast_to(task[:, None, :], (B, nE, E))], axis=2
         )  # [B, nE, 2E]
         vw, new_state["vw"] = self.vw_mlp.apply(params["vw"], state["vw"],
-                                                scen, train, keys[4])
+                                                scen, train, keys[4], w)
         meta_w = vw.reshape(B, 2 * E, 2 * E)
         vb, new_state["vb"] = self.vb_mlp.apply(params["vb"], state["vb"],
-                                                scen, train, keys[5])
+                                                scen, train, keys[5], w)
         meta = jnp.einsum("bne,bef->bnf", meta_in, meta_w) + vb[:, None, :]
         meta = jnp.where(meta >= 0, meta, 0.1 * meta)  # LeakyReLU(0.1)
         meta = jnp.einsum("bnf,fo->bno", meta, params["v"])[..., 0]  # [B, nE]
@@ -116,18 +118,18 @@ class M2M(Model):
 
         # meta-tower (m2m.py:65-67)
         tw, new_state["tw"] = self.tower_w_mlp.apply(params["tw"], state["tw"],
-                                                     scen, train, keys[6])
+                                                     scen, train, keys[6], w)
         tb, new_state["tb"] = self.tower_b_mlp.apply(params["tb"], state["tb"],
-                                                     scen, train, keys[7])
+                                                     scen, train, keys[7], w)
         tower_w = tw.reshape(B, E, E)
         h = jnp.einsum("be,bef->bf", rt, tower_w) + tb + rt
         h = jnp.where(h >= 0, h, 0.1 * h)
 
         y, new_state["out"] = self.output_mlp.apply(params["out"], state["out"],
-                                                    h, train, keys[8])
+                                                    h, train, keys[8], w)
         return jax.nn.sigmoid(y)[:, 0], new_state
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward: transformer in XLA (cross-example attention is
         batch-global), everything after it in ONE Pallas kernel — equal to
         ``apply(train=False)`` up to float reassociation in the generated-
@@ -147,7 +149,7 @@ class M2M(Model):
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
         t_out = self.transformer.apply(params["transformer"], emb, emb,
-                                       train=False, rng=None)
+                                       train=False, rng=None, w=w)
 
         def fold(name):
             stages, head = fold_stacked_mlp_eval(params[name], state[name])

@@ -108,7 +108,9 @@ class M3oE(Model):
         ]
         return params, {}
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):  # noqa: ARG002 — per-row math only (LayerNorm), no
+        # batch statistics anywhere, so the padding mask is irrelevant here
         did = domain_ids(x)
         D, E = self.domain_num, self.expert_num
         input_emb = self.embedding.apply(params["embedding"], x, self.features,
@@ -116,8 +118,8 @@ class M3oE(Model):
 
         # STAR fusion front-end (m3oe.py:145-150)
         skip = _mlp_n_apply(params["skip"], input_emb)
-        w = params["slot_w"] * params["shared_w"][None]  # [D, s0, s1]
-        star = compute_config.einsum("bi,dio->dbo", input_emb, w) \
+        w_slot = params["slot_w"] * params["shared_w"][None]  # [D, s0, s1]
+        star = compute_config.einsum("bi,dio->dbo", input_emb, w_slot) \
             + params["slot_b"][:, None, :] + params["shared_b"][None, None, :]
         emb = jnp.einsum(
             "bd,dbo->bo",
@@ -161,12 +163,14 @@ class M3oE(Model):
         out = domain_select(jnp.stack(ys), did)
         return out, state
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — numerically equal
         to ``apply(train=False)`` (all per-row math: LayerNorm, not
         BatchNorm; ops/pallas/m3oe_infer.py). Stacks the per-member Mlp_N
         layer lists on leading axes; the learnable sigmoid mixing scalars
         ride into the kernel as [1,1] operands (they stay traced)."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.m3oe_infer import m3oe_fused_infer
 
         did = domain_ids(x)

@@ -45,17 +45,19 @@ class MMOE(Model):
         state = {"experts": experts_s, "gates": gates_s, "towers": towers_s}
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
         kx, kg, kt = split_rng(rng, 3)
 
         expert_outs, experts_s = stacked_mlp_apply(
-            self.expert, params["experts"], state["experts"], emb, train, kx
+            self.expert, params["experts"], state["experts"], emb, train, kx,
+            w=w
         )  # [E, B, H]
         gate_outs, gates_s = stacked_mlp_apply(
-            self.gate, params["gates"], state["gates"], emb, train, kg
+            self.gate, params["gates"], state["gates"], emb, train, kg, w=w
         )  # [D, B, E] (softmax over E)
 
         # per-domain mixture: sum_e gate[d,b,e] * expert[e,b,h] (mmoe.py:48-49)
@@ -63,18 +65,20 @@ class MMOE(Model):
 
         ys, towers_s = stacked_mlp_apply(
             self.tower, params["towers"], state["towers"], mixed, train, kt,
-            per_member_x=True,
+            per_member_x=True, w=w,
         )  # [D, B, 1]
         out = domain_select(jax.nn.sigmoid(ys), did)
         return out, {"experts": experts_s, "gates": gates_s, "towers": towers_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused inference kernel.
 
         Numerically equivalent to ``apply(train=False)`` (BatchNorm folded
         into the affines — ops/pallas/folding.py); the entire post-embedding
         stack runs in ONE kernel out of VMEM (ops/pallas/mmoe_infer.py).
         """
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.folding import fold_stacked_mlp_eval
         from ..ops.pallas.mmoe_infer import mmoe_fused_infer
 

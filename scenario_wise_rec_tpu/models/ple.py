@@ -57,7 +57,8 @@ class PLE(Model):
         )
         return jax.vmap(jax.vmap(expert.init))(keys)
 
-    def _spec_apply(self, expert: MLP, params, state, x_domains, train, rng):
+    def _spec_apply(self, expert: MLP, params, state, x_domains, train, rng,
+                    w=None):
         """x_domains: [D, B, in] -> outs [D, n_spec, B, H]."""
         if rng is None:
             keys = None
@@ -69,7 +70,7 @@ class PLE(Model):
             axes = (0, 0, 0, 0)
 
         def per_expert(p, s, x, k):
-            return expert.apply(p, s, x, train, k)
+            return expert.apply(p, s, x, train, k, w)
 
         def per_domain(p, s, x, k):
             in2 = (0, 0, None, None if k is None else 0)
@@ -97,7 +98,8 @@ class PLE(Model):
         params["towers"], state["towers"] = towers_p, towers_s
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
@@ -111,14 +113,14 @@ class PLE(Model):
             lp, ls = params["levels"][lvl], state["levels"][lvl]
             ks, ksh, kg, kgs = keys[4 * lvl : 4 * lvl + 4]
             spec_outs, spec_s = self._spec_apply(
-                expert, lp["spec"], ls["spec"], inputs[:D], train, ks
+                expert, lp["spec"], ls["spec"], inputs[:D], train, ks, w
             )  # [D, n_spec, B, H]
             shared_outs, shared_s = stacked_mlp_apply(
-                expert, lp["shared"], ls["shared"], inputs[D], train, ksh
+                expert, lp["shared"], ls["shared"], inputs[D], train, ksh, w=w
             )  # [n_shared, B, H]
             gate_outs, gates_s = stacked_mlp_apply(
                 gate, lp["gates"], ls["gates"], inputs[:D], train, kg,
-                per_member_x=True,
+                per_member_x=True, w=w,
             )  # [D, B, n_spec + n_shared] (softmax over experts)
 
             # per-domain expert set: own specifics then shared (ple.py:121-128)
@@ -131,7 +133,7 @@ class PLE(Model):
             new_ls = {"spec": spec_s, "shared": shared_s, "gates": gates_s}
             if gate_shared is not None:
                 gs_out, gs_s = gate_shared.apply(
-                    lp["gate_shared"], ls["gate_shared"], inputs[D], train, kgs
+                    lp["gate_shared"], ls["gate_shared"], inputs[D], train, kgs, w
                 )  # [B, n_all]
                 all_experts = jnp.concatenate(
                     [spec_outs.reshape(-1, *spec_outs.shape[2:]), shared_outs],
@@ -149,15 +151,17 @@ class PLE(Model):
 
         ys, towers_s = stacked_mlp_apply(
             self.tower, params["towers"], state["towers"], inputs[:D], train,
-            keys[-1], per_member_x=True,
+            keys[-1], per_member_x=True, w=w,
         )  # [D, B, 1]
         new_state["towers"] = towers_s
         return domain_select(jax.nn.sigmoid(ys), did), new_state
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward via the Pallas fused CGC kernel
         (ops/pallas/ple_infer.py); numerically equivalent to
         ``apply(train=False)`` with BatchNorm constant-folded."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.folding import fold_stacked_mlp_eval
         from ..ops.pallas.ple_infer import LevelSpec, ple_fused_infer
 

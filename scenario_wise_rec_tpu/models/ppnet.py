@@ -51,14 +51,15 @@ class _PPTowerBlock:
         params["final"] = linear_init(keys[-1], self.dims[-1], 1)
         return params, state
 
-    def apply(self, params, state, agn_emb, gate_input_emb, train, rng):
+    def apply(self, params, state, agn_emb, gate_input_emb, train, rng,
+              w=None):
         hidden = gate_input_emb  # ppnet.py:22 — NOT agn_emb
         new_ms = []
         keys = split_rng(rng, len(self.mlps))
         for i in range(len(self.mlps)):
             gate_out = self.gates[i].apply(params["gates"][i], gate_input_emb)
             hidden, ms = self.mlps[i].apply(params["mlps"][i], state["mlps"][i],
-                                            hidden, train, keys[i])
+                                            hidden, train, keys[i], w)
             new_ms.append(ms)
             hidden = hidden * gate_out
         y = jax.nn.sigmoid(linear_apply(params["final"], hidden))
@@ -88,7 +89,8 @@ class PPNet(Model):
         }
         return params, {"towers": towers_s}
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         id_x = self.id_embedding.apply(params["id_embedding"], x,
                                        self.id_features, squeeze_dim=True)
@@ -104,16 +106,18 @@ class PPNet(Model):
             k_axis = 0
 
         def one(p, s, k):
-            return self.tower.apply(p, s, agn_x, gate_input, train, k)
+            return self.tower.apply(p, s, agn_x, gate_input, train, k, w)
 
         ys, towers_s = jax.vmap(one, in_axes=(0, 0, k_axis))(
             params["towers"], state["towers"], keys
         )  # [D, B, 1]
         return domain_select(ys, did), {"towers": towers_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — numerically equal
         to ``apply(train=False)`` (BN folded; ops/pallas/gated_infer.py)."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.folding import fold_stacked_mlp_eval
         from ..ops.pallas.gated_infer import ppnet_fused_infer
 

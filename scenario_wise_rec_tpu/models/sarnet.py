@@ -36,8 +36,8 @@ class _DebiasExpert:
         return {"bn": bn_p, "lin": linear_init(rng, self.input_dim, self.out_dim)}, \
                {"bn": bn_s}
 
-    def apply(self, params, state, x, train):
-        h, bn_s = batchnorm_apply(params["bn"], state["bn"], x, train)
+    def apply(self, params, state, x, train, w=None):
+        h, bn_s = batchnorm_apply(params["bn"], state["bn"], x, train, w)
         return linear_apply(params["lin"], h), {"bn": bn_s}
 
 
@@ -78,7 +78,8 @@ class Sarnet(Model):
         state = {"shared": shared_s, "spec": spec_s, "final": final_s}
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)  # [B, in]
@@ -90,12 +91,12 @@ class Sarnet(Model):
         onehot = jax.nn.one_hot(jnp.clip(did, 0, D - 1), D, dtype=emb.dtype)
         shared_emb = jnp.einsum("bd,dbi->bi", onehot, scaled)
 
-        shared_fn = lambda p, s: self.expert.apply(p, s, shared_emb, train)
+        shared_fn = lambda p, s: self.expert.apply(p, s, shared_emb, train, w)
         shared_out, shared_s = jax.vmap(shared_fn)(params["shared"], state["shared"])
         # [n_shared, B, 16]
 
         def spec_domain(p, s, xi):
-            fn = lambda pp, ss: self.expert.apply(pp, ss, xi, train)
+            fn = lambda pp, ss: self.expert.apply(pp, ss, xi, train, w)
             return jax.vmap(fn)(p, s)
 
         spec_out, spec_s = jax.vmap(spec_domain)(params["spec"], state["spec"],
@@ -107,14 +108,16 @@ class Sarnet(Model):
         mixed = jnp.einsum("be,ebo->bo", gate, expert_out)  # [B, 16]
 
         y, final_s = self.final_mlp.apply(params["final"], state["final"], mixed,
-                                          train, kf)
+                                          train, kf, w)
         probs = jax.nn.sigmoid(y)[:, 0]
         return probs, {"shared": shared_s, "spec": spec_s, "final": final_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — numerically equal
         to ``apply(train=False)`` (debias-expert BN→Linear folded by
         folding.fold_bn_linear_eval; ops/pallas/sarnet_infer.py)."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.folding import (fold_bn_linear_eval,
                                           fold_stacked_mlp_eval)
         from ..ops.pallas.sarnet_infer import sarnet_fused_infer

@@ -39,23 +39,26 @@ class SharedBottom(Model):
         state = {"bottom": bottom_s, "towers": towers_s}
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
         kb, kt = split_rng(rng, 2)
         h, bottom_s = self.bottom_mlp.apply(params["bottom"], state["bottom"],
-                                            emb, train, kb)
+                                            emb, train, kb, w)
         ys, towers_s = stacked_mlp_apply(self.tower, params["towers"],
-                                         state["towers"], h, train, kt)
+                                         state["towers"], h, train, kt, w=w)
         probs = jax.nn.sigmoid(ys)  # [D, B, 1]
         out = domain_select(probs, did)
         return out, {"bottom": bottom_s, "towers": towers_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward via the Pallas fused trunk→towers kernel
         (ops/pallas/tower_infer.py); numerically equivalent to
         ``apply(train=False)`` with BatchNorm constant-folded."""
+        # ``w`` accepted for the uniform trainer call; the eval math here
+        # is per-row (no batch statistics), so the mask is unused.
         from ..ops.pallas.folding import fold_stacked_mlp_eval
         from ..ops.pallas.tower_infer import trunk_towers_fused_infer
 

@@ -26,6 +26,7 @@ from ..core.features import sum_embed_dims
 from ..ops.embedding import EmbeddingCollection
 from ..ops.nn import (
     MLP,
+    batch_stats,
     stacked_batchnorm_apply,
     stacked_batchnorm_init,
 )
@@ -83,18 +84,19 @@ class Star(Model):
         state["aux"] = aux_s
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None,
+              w=None):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
         k_aux, = split_rng(rng, 1)
         aux_out, aux_s = self.auxnet.apply(params["aux"], state["aux"], emb,
-                                           train, k_aux)  # [B, 1]
+                                           train, k_aux, w)  # [B, 1]
 
         # domain norm on current-batch stats (star.py:95-100); the stats are
         # computed on the same emb for every domain, so once is enough.
-        mean = jnp.mean(emb, axis=0)
-        var = jnp.mean((emb - mean) ** 2, axis=0)
+        # Padded (w=0) rows are excluded — the reference never sees them.
+        mean, var, _ = batch_stats(emb, w)
         normed = (emb - mean) * jax.lax.rsqrt(var + self.eps)  # [B, in]
         dn = params["dn"]
         g = dn["share_gamma"][None] * dn["gamma"]  # [D, in]
@@ -104,11 +106,12 @@ class Star(Model):
         new_bn = []
         for i in range(self.layer_num):
             fcn = params["fcn"]
-            w = fcn["share_w"][i][None] * fcn["dom_w"][i]  # [D, in, out]
+            w_eff = fcn["share_w"][i][None] * fcn["dom_w"][i]  # [D, in, out]
             bias = fcn["share_b"][i][None] + fcn["dom_b"][i]  # [D, out]
-            h = compute_config.einsum("dbi,dio->dbo", h, w) + bias[:, None, :]
+            h = compute_config.einsum("dbi,dio->dbo", h, w_eff) \
+                + bias[:, None, :]
             h, bn_s = stacked_batchnorm_apply(
-                fcn["bn"][i], state["bn"][i], h, train
+                fcn["bn"][i], state["bn"][i], h, train, w
             )
             new_bn.append(bn_s)
             h = jax.nn.relu(h)
@@ -117,11 +120,12 @@ class Star(Model):
         probs = jax.nn.sigmoid(out + aux_out[:, 0])
         return probs, {"bn": new_bn, "aux": aux_s}
 
-    def apply_fused_eval(self, params, state, x):
+    def apply_fused_eval(self, params, state, x, w=None):
         """Eval forward through the Pallas fused kernel — numerically equal
         to ``apply(train=False)`` (per-layer BN folded into the shared⊙domain
         affines; batch-stat domain-norm mean/rstd computed outside the kernel
-        on the full batch, exactly as apply does; ops/pallas/star_infer.py).
+        on the full batch with padded rows masked out, exactly as apply does;
+        ops/pallas/star_infer.py).
         """
         from ..ops.nn import BN_EPS
         from ..ops.pallas.folding import fold_stacked_mlp_eval
@@ -131,8 +135,7 @@ class Star(Model):
         did = domain_ids(x)
         emb = self.embedding.apply(params["embedding"], x, self.features,
                                    squeeze_dim=True)
-        mean = jnp.mean(emb, axis=0)
-        var = jnp.mean((emb - mean) ** 2, axis=0)
+        mean, var, _ = batch_stats(emb, w)
         rstd = jax.lax.rsqrt(var + self.eps)
         dn = params["dn"]
         dn_gamma = dn["share_gamma"][None] * dn["gamma"]

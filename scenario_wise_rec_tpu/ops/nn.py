@@ -67,15 +67,34 @@ def batchnorm_init(dim: int):
     return params, state
 
 
-def batchnorm_apply(params, state, x, train: bool):
-    """torch BatchNorm1d: batch stats (biased var) normalize in train mode;
-    running stats updated with *unbiased* var; eval uses running stats."""
-    if train:
+def batch_stats(x, w):
+    """(mean, biased var, n) over axis 0, excluding rows with ``w == 0``.
+
+    Static-shape batches are padded with weight-0 rows (data/dataset.py);
+    the reference never sees those rows, so every batch-statistics op must
+    exclude them or train/eval semantics diverge on ragged batches (the
+    bundled 100-row Ali-CCP sample pads 97% of a 4096 batch).
+    """
+    if w is None:
         mean = jnp.mean(x, axis=0)
         var = jnp.mean((x - mean) ** 2, axis=0)
+        return mean, var, jnp.float32(x.shape[0])
+    wc = w.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+    n = jnp.maximum(jnp.sum(wc), 1.0)
+    mean = jnp.sum(x * wc, axis=0) / n
+    var = jnp.sum(((x - mean) ** 2) * wc, axis=0) / n
+    return mean, var, n
+
+
+def batchnorm_apply(params, state, x, train: bool, w=None):
+    """torch BatchNorm1d: batch stats (biased var) normalize in train mode;
+    running stats updated with *unbiased* var; eval uses running stats.
+    ``w``: optional [B] 0/1 mask — padded rows are excluded from the stats
+    (their outputs are garbage and must be discarded by the caller)."""
+    if train:
+        mean, var, n = batch_stats(x, w)
         y = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
-        n = x.shape[0]
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         new_state = {
             "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
@@ -112,12 +131,13 @@ def layernorm_apply(params, x, eps: float = 1e-5):
 # --------------------------------------------------------------------------
 
 
-def domain_norm(x, gamma, beta, eps: float, unbiased: bool = False):
-    mean = jnp.mean(x, axis=0)
-    var = jnp.mean((x - mean) ** 2, axis=0)
+def domain_norm(x, gamma, beta, eps: float, unbiased: bool = False, w=None):
+    """``w``: optional [B] 0/1 mask — padded rows excluded from the batch
+    stats (this norm uses CURRENT-batch statistics even at eval, so the
+    mask matters on every ragged batch)."""
+    mean, var, n = batch_stats(x, w)
     if unbiased:
-        n = x.shape[0]
-        var = var * (n / max(n - 1, 1))
+        var = var * (n / jnp.maximum(n - 1.0, 1.0))
     x_norm = (x - mean) * jax.lax.rsqrt(var + eps)
     return gamma * x_norm + beta
 
@@ -180,11 +200,12 @@ class MLP:
             params["out"] = linear_init(ko, in_dim, 1)
         return params, state
 
-    def apply(self, params, state, x, train: bool = False, rng=None):
+    def apply(self, params, state, x, train: bool = False, rng=None, w=None):
         new_bn = []
         for i, layer in enumerate(params["layers"]):
             x = linear_apply(layer["lin"], x)
-            x, bn_s = batchnorm_apply(layer["bn"], state["layers"][i], x, train)
+            x, bn_s = batchnorm_apply(layer["bn"], state["layers"][i], x,
+                                      train, w)
             new_bn.append(bn_s)
             x = self.act.apply(layer["act"], x)
             if self.dropout_p > 0 and train:
@@ -311,9 +332,10 @@ def stacked_batchnorm_init(dim: int, n: int):
     return params, state
 
 
-def stacked_batchnorm_apply(params, state, x, train: bool):
-    """vmapped BatchNorm over leading axis: x is [n, B, dim]."""
-    fn = lambda p, s, xi: batchnorm_apply(p, s, xi, train)
+def stacked_batchnorm_apply(params, state, x, train: bool, w=None):
+    """vmapped BatchNorm over leading axis: x is [n, B, dim]; ``w`` ([B])
+    is shared across members."""
+    fn = lambda p, s, xi: batchnorm_apply(p, s, xi, train, w)
     return jax.vmap(fn)(params, state, x)
 
 
@@ -323,11 +345,12 @@ def stacked_mlp_init(mlp: MLP, rng, n: int):
 
 
 def stacked_mlp_apply(mlp: MLP, params, state, x, train: bool = False, rng=None,
-                      per_member_x: bool = False):
+                      per_member_x: bool = False, w=None):
     """Run ``n`` stacked MLPs on the (shared or per-member) batch.
 
     Returns ``(y[n, B, out], new_state)``. ``per_member_x=True`` feeds
     ``x[n, B, in]`` member-wise (PLE fan-through, ple.py:107-118).
+    ``w`` ([B] padding mask) is shared across members.
     """
     n = jax.tree_util.tree_leaves(params)[0].shape[0]
     if rng is None:
@@ -339,6 +362,6 @@ def stacked_mlp_apply(mlp: MLP, params, state, x, train: bool = False, rng=None,
     x_axis = 0 if per_member_x else None
 
     def one(p, s, xi, k):
-        return mlp.apply(p, s, xi, train, k)
+        return mlp.apply(p, s, xi, train, k, w)
 
     return jax.vmap(one, in_axes=(0, 0, x_axis, rng_axis))(params, state, x, keys)

@@ -195,6 +195,8 @@ def hamur_fused_infer(
     eps: float = 1e-5,
     block_rows: int = 1024,
     interpret: bool | None = None,
+    w: jnp.ndarray | None = None,        # [B] 0/1 padding mask for the
+                                         # adapter-norm batch stats
 ) -> jnp.ndarray:
     """probs[B] — segments run fused; adapter-norm batch stats in XLA."""
     if interpret is None:
@@ -206,8 +208,8 @@ def hamur_fused_infer(
     hyper = None
     if adapters:
         h = emb
-        for w, b in hyper_stages:
-            h = jax.nn.relu(h @ w + b)
+        for hw, hb in hyper_stages:
+            h = jax.nn.relu(h @ hw + hb)
         hyper = h.reshape(-1, k, k)
 
     x = emb
@@ -219,9 +221,12 @@ def hamur_fused_infer(
             final=None, domain_id=None,
             block_rows=block_rows, interpret=interpret)
         # batch stats of the pre-norm adapter output (unbiased var,
-        # hamur.py:191-195), folded to a per-domain affine
-        mean = jnp.mean(t_pre_new, axis=0)                      # [D, w]
-        var = jnp.var(t_pre_new, axis=0, ddof=1)
+        # hamur.py:191-195; padded w=0 rows excluded — ops/nn.batch_stats),
+        # folded to a per-domain affine
+        from ..nn import batch_stats
+
+        mean, var, n = batch_stats(t_pre_new, w)                # [D, w]
+        var = var * (n / jnp.maximum(n - 1.0, 1.0))
         scale = adapter["gamma"] * jax.lax.rsqrt(var + eps)
         shift = adapter["beta"] - mean * scale
         x, t_pre, dn_affine = h_res, t_pre_new, (scale, shift)

@@ -33,8 +33,14 @@ def _mha_init(rng, d_model: int):
     }
 
 
-def _mha_apply(params, q_in, kv_in, nhead: int, p_drop: float, train: bool, rng):
-    """Multi-head attention on unbatched [L, E] sequences (torch semantics)."""
+def _mha_apply(params, q_in, kv_in, nhead: int, p_drop: float, train: bool, rng,
+               key_mask=None):
+    """Multi-head attention on unbatched [L, E] sequences (torch semantics).
+
+    ``key_mask``: optional [S] 0/1 mask — positions with 0 (static-shape
+    batch padding, data/dataset.py) are excluded from attention, as if the
+    row did not exist (the reference's batches never contain them).
+    """
     L, E = q_in.shape
     S = kv_in.shape[0]
     hd = E // nhead
@@ -44,6 +50,9 @@ def _mha_apply(params, q_in, kv_in, nhead: int, p_drop: float, train: bool, rng)
     k = (kv_in @ w_k.T + b_k).reshape(S, nhead, hd).transpose(1, 0, 2)
     v = (kv_in @ w_v.T + b_v).reshape(S, nhead, hd).transpose(1, 0, 2)
     attn = jnp.einsum("hld,hsd->hls", q, k) / jnp.sqrt(hd).astype(q.dtype)
+    if key_mask is not None:
+        neg = jnp.finfo(attn.dtype).min
+        attn = jnp.where(key_mask[None, None, :] > 0, attn, neg)
     attn = jax.nn.softmax(attn, axis=-1)
     if train and p_drop > 0:
         rng, kd = jax.random.split(rng)
@@ -125,7 +134,11 @@ class Transformer:
             sub = dropout_fn(kd, sub, self.p, train)
         return x + sub
 
-    def apply(self, params, src, tgt, train: bool = False, rng=None):
+    def apply(self, params, src, tgt, train: bool = False, rng=None, w=None):
+        """``w``: optional [L] 0/1 padding mask over the (batch-as-sequence)
+        positions — padded rows are masked out as attention KEYS everywhere
+        (self- and cross-attention), matching the reference where they do
+        not exist. Their own outputs are garbage and must be discarded."""
         if rng is None:
             rng = jax.random.PRNGKey(0)  # eval: dropout disabled, key unused
         keys = jax.random.split(rng, (self.n_enc + self.n_dec) * 8)
@@ -134,7 +147,7 @@ class Transformer:
         h = src
         for layer in params["enc"]:
             a = _mha_apply(layer["attn"], h, h, self.nhead, self.p, train,
-                           keys[ki])
+                           keys[ki], key_mask=w)
             h = layernorm_apply(layer["norm1"],
                                 self._res(h, a, train, keys[ki + 1]))
             f = self._ff(layer["ff"], h, train, keys[ki + 2])
@@ -146,11 +159,11 @@ class Transformer:
         t = tgt
         for layer in params["dec"]:
             a = _mha_apply(layer["self_attn"], t, t, self.nhead, self.p, train,
-                           keys[ki])
+                           keys[ki], key_mask=w)
             t = layernorm_apply(layer["norm1"],
                                 self._res(t, a, train, keys[ki + 1]))
             c = _mha_apply(layer["cross_attn"], t, memory, self.nhead, self.p,
-                           train, keys[ki + 2])
+                           train, keys[ki + 2], key_mask=w)
             t = layernorm_apply(layer["norm2"],
                                 self._res(t, c, train, keys[ki + 3]))
             f = self._ff(layer["ff"], t, train, keys[ki + 4])

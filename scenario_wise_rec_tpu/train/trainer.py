@@ -200,7 +200,7 @@ class CTRTrainer:
             if not sparse_emb:
                 def loss_fn(p):
                     probs, new_state = model.apply(p, state, x, train=True,
-                                                   rng=rng)
+                                                   rng=rng, w=w)
                     return bce_loss(probs, y, w), new_state
 
                 (loss, new_state), grads = jax.value_and_grad(
@@ -221,7 +221,7 @@ class CTRTrainer:
                 emb_p["__rows__"] = rows_p
                 p2 = {**rest_p, "embedding": emb_p}
                 probs, new_state = model.apply(p2, state, x, train=True,
-                                               rng=rng)
+                                               rng=rng, w=w)
                 return bce_loss(probs, y, w), new_state
 
             (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
@@ -288,14 +288,15 @@ class CTRTrainer:
         # apply(train=False) — pinned by tests/test_pallas_kernels.py
         if self._fused_inference and hasattr(model, "apply_fused_eval"):
             @jax.jit
-            def step(params, state, x):
-                return model.apply_fused_eval(params, state, x)
+            def step(params, state, x, w):
+                return model.apply_fused_eval(params, state, x, w=w)
 
             return step
 
         @jax.jit
-        def step(params, state, x):
-            probs, _ = model.apply(params, state, x, train=False, rng=None)
+        def step(params, state, x, w):
+            probs, _ = model.apply(params, state, x, train=False, rng=None,
+                                   w=w)
             return probs
 
         return step
@@ -433,7 +434,7 @@ class CTRTrainer:
         ys, ps, ds, ws = [], [], [], []
         for x, y, w in prefetch(data_loader, self.prefetch_depth):
             xb, yb, wb = self._device_batch(x, y, w)
-            probs = self._eval_step(self.params, self.state, xb)
+            probs = self._eval_step(self.params, self.state, xb, wb)
             keep = np.asarray(w) > 0
             ps.append(np.asarray(probs)[keep])
             if y is not None:

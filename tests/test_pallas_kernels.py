@@ -99,7 +99,7 @@ def test_trainer_fused_inference_flag():
     model, _, _, x = _mmoe_setup(batch=32, seed=7)
     tr = CTRTrainer(model, fused_inference=True, seed=2)
     ref, _ = model.apply(tr.params, tr.state, x, train=False, rng=None)
-    got = tr._eval_step(tr.params, tr.state, x)
+    got = tr._eval_step(tr.params, tr.state, x, jnp.ones((32,), jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
