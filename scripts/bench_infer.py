@@ -2,8 +2,9 @@
 
 Flagship Ali-CCP shape (same as bench.py), eval path only. ``SWR_MODEL``
 picks the model (mmoe | sharedbottom | ple | epnet | ppnet | adasparse |
-sarnet | star | hamur | hamurlarge | adaptdhm | m3oe — each has a fused
-Pallas eval path, ops/pallas/). Prints one JSON line per variant.
+sarnet | star | hamur | hamurlarge | adaptdhm | m3oe | m2m — each has a
+fused Pallas eval path, ops/pallas/; M2M's cross-example transformer stays
+in XLA with everything after it fused). Prints one JSON line per variant.
 """
 
 import json
@@ -79,6 +80,10 @@ def _build_model(features):
     if MODEL == "m3oe":
         return M3oE(features, DOMAINS, fcn_dims=[512, 256, 256, 64],
                     expert_num=4, exp_d=1, exp_t=1, bal_d=1, bal_t=1)
+    if MODEL == "m2m":
+        # domain feature is part of the embedded inputs (configs ali_ccp m2m)
+        from scenario_wise_rec_tpu.models import M2M
+        return M2M(features + sce, domain_feature=sce, domain_num=DOMAINS)
     raise SystemExit(f"unknown SWR_MODEL={MODEL}")
 
 

@@ -58,6 +58,23 @@ REF_NAME = {
 }
 ALL_MODELS = ["sharedbottom", "mmoe", "ple", "star", "sarnet", "epnet",
               "ppnet", "adasparse", "m2m", "adaptdhm", "hamur", "m3oe"]
+DS_NAME = {"ali_ccp": "Aliccp", "kuairand": "Kuairand",
+           "douban": "Douban", "mind": "Mind"}
+
+
+def write_metrics_csv(path, model, seed, metrics):
+    """Persist a parsed metrics dict in the shared result-CSV schema
+    (model, seed, auc, log, auc0, log0, ...) so both sides of the sweep
+    leave the same lightweight artifact (no model checkpoints)."""
+    cols = ["auc", "log"]
+    d = 0
+    while f"auc{d}" in metrics:
+        cols += [f"auc{d}", f"log{d}"]
+        d += 1
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "seed"] + cols)
+        w.writerow([model, seed] + [metrics[c] for c in cols])
 
 
 def run_ref(dataset, model, seed, args, outdir) -> dict | None:
@@ -70,20 +87,24 @@ def run_ref(dataset, model, seed, args, outdir) -> dict | None:
     domain_auc[1] out of range) — after the metrics are printed.
     """
     import re
+    import tempfile
 
     name = REF_NAME.get(dataset, {}).get(model, model)
     script = os.path.join(REF_ROOT, "scripts", REF_SCRIPTS[dataset])
     env = dict(os.environ, PYTHONPATH=REF_ROOT)
-    cmd = [sys.executable, script, "--dataset_path", DATA_PATHS[dataset],
-           "--model_name", name, "--seed", str(seed),
-           "--epoch", str(args.epoch), "--batch_size", str(args.batch_size),
-           "--learning_rate", str(args.learning_rate),
-           "--weight_decay", str(args.weight_decay),
-           "--device", "cpu", "--save_dir", outdir]
-    # the reference writes its CSV artifact into the CWD (e.g.
-    # run_kuairand...py:158) — run from outdir
-    r = subprocess.run(cmd, cwd=outdir, env=env, capture_output=True,
-                       text=True, timeout=1800)
+    # checkpoints (.pth) + the reference's own CWD-relative CSV go to a
+    # scratch dir and are discarded; only the normalized metrics CSV below
+    # is kept (the sweep once committed 1.1 GB of early-stop saves).
+    with tempfile.TemporaryDirectory() as scratch:
+        cmd = [sys.executable, script, "--dataset_path", DATA_PATHS[dataset],
+               "--model_name", name, "--seed", str(seed),
+               "--epoch", str(args.epoch),
+               "--batch_size", str(args.batch_size),
+               "--learning_rate", str(args.learning_rate),
+               "--weight_decay", str(args.weight_decay),
+               "--device", "cpu", "--save_dir", scratch]
+        r = subprocess.run(cmd, cwd=scratch, env=env, capture_output=True,
+                           text=True, timeout=1800)
     m = re.search(r"test auc: ([\d.naN]+) \| test logloss: ([\d.naN]+)",
                   r.stdout)
     if not m:
@@ -95,22 +116,34 @@ def run_ref(dataset, model, seed, args, outdir) -> dict | None:
                           r"test domain \d+ logloss: ([\d.naN]+)", r.stdout):
         out[f"auc{dm.group(1)}"] = float(dm.group(2))
         out[f"log{dm.group(1)}"] = float(dm.group(3))
+    write_metrics_csv(
+        os.path.join(outdir, f"{model}_{DS_NAME[dataset]}_{seed}.csv"),
+        model, seed, out)
     return out
 
 
 def run_ours(dataset, model, seed, args, outdir) -> str | None:
+    import shutil
+    import tempfile
+
     import run_benchmark_suite as suite
 
-    ns = argparse.Namespace(
-        dataset_path=DATA_PATHS[dataset], epoch=args.epoch,
-        learning_rate=args.learning_rate, batch_size=args.batch_size,
-        weight_decay=args.weight_decay, device="cpu", save_dir=outdir,
-        synthetic=False)
-    try:
-        return suite.run_one(dataset, model, seed, ns)
-    except Exception as e:
-        print(f"OURS FAILED {dataset}/{model}/{seed}: {e}", flush=True)
-        return None
+    # run with a scratch save_dir so early-stop checkpoints (.npz) are
+    # discarded; keep only the 2-line result CSV.
+    with tempfile.TemporaryDirectory() as scratch:
+        ns = argparse.Namespace(
+            dataset_path=DATA_PATHS[dataset], epoch=args.epoch,
+            learning_rate=args.learning_rate, batch_size=args.batch_size,
+            weight_decay=args.weight_decay, device="cpu", save_dir=scratch,
+            synthetic=False)
+        try:
+            csv_path = suite.run_one(dataset, model, seed, ns)
+        except Exception as e:
+            print(f"OURS FAILED {dataset}/{model}/{seed}: {e}", flush=True)
+            return None
+        dst = os.path.join(outdir, os.path.basename(csv_path))
+        shutil.copyfile(csv_path, dst)
+    return dst
 
 
 def read_metrics(path) -> dict | None:
@@ -120,6 +153,8 @@ def read_metrics(path) -> dict | None:
         return None
     with open(path) as f:
         rows = list(csv.reader(f))
+    if len(rows) < 2:  # header-only: the writer crashed mid-run
+        return None
     hdr, vals = rows[0], rows[1]
 
     def get(col):
@@ -149,12 +184,19 @@ def main():
     ap.add_argument("--out", default="../parity_results")
     ap.add_argument("--skip_ref", action="store_true")
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--report_only", action="store_true",
+                    help="skip all runs; aggregate the per-run CSVs already "
+                         "in --out/{ours,reference} into PARITY_RESULTS.md")
     args = ap.parse_args()
 
     out_ours = os.path.join(args.out, "ours")
     out_ref = os.path.join(args.out, "reference")
     os.makedirs(out_ours, exist_ok=True)
     os.makedirs(out_ref, exist_ok=True)
+
+    if args.report_only:
+        write_report(args, load_results_from_csvs(args, out_ours, out_ref))
+        return
 
     results = {}  # (dataset, model, side) -> list of metric dicts
     for dataset in args.datasets:
@@ -173,6 +215,34 @@ def main():
                         results.setdefault((dataset, model, "ref"),
                                            []).append(m)
     write_report(args, results)
+
+
+def load_results_from_csvs(args, out_ours, out_ref):
+    """Rebuild the (dataset, model, side) -> [metrics] dict from the per-run
+    CSVs both sides leave behind. Reference files may use the reference
+    scripts' inconsistent model casing (REF_NAME) — match case-insensitively
+    on the canonical name."""
+    results = {}
+    for side, d in (("ours", out_ours), ("ref", out_ref)):
+        for path in sorted(os.listdir(d)):
+            if not path.endswith(".csv"):
+                continue
+            stem = path[:-4]
+            for dataset in args.datasets:
+                suffix_ds = f"_{DS_NAME[dataset]}_"
+                if suffix_ds not in stem:
+                    continue
+                fmodel = stem.rpartition(suffix_ds)[0]
+                seed = stem.rsplit("_", 1)[1]
+                if int(seed) not in args.seeds:
+                    continue
+                model = fmodel.lower()
+                if model not in args.models:
+                    continue
+                m = read_metrics(os.path.join(d, path))
+                if m:
+                    results.setdefault((dataset, model, side), []).append(m)
+    return results
 
 
 def write_report(args, results):
