@@ -22,8 +22,20 @@ def bce_loss(y_pred_prob, y_true, weights=None):
     is over real examples only, which makes padded full-batch jit exact.
     """
     y_true = y_true.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(y_pred_prob), -100.0)
-    log_1p = jnp.maximum(jnp.log(1.0 - y_pred_prob), -100.0)
+    # Double-where idiom: at p == 0 (or 1 - p == 0, both reachable — f32
+    # sigmoid underflows to exactly 0.0 below logit ~-104) a bare
+    # maximum(log(p), -100) has NaN gradient: the max's VJP multiplies
+    # 0 (losing branch) by inf (d log/dp at 0). Evaluate log only on a
+    # positive surrogate so both forward (torch's -100 clamp) and backward
+    # (zero grad in the clamped region) are finite.
+    p = y_pred_prob
+    log_p = jnp.where(p > 0,
+                      jnp.maximum(jnp.log(jnp.where(p > 0, p, 1.0)), -100.0),
+                      -100.0)
+    q = 1.0 - p
+    log_1p = jnp.where(q > 0,
+                       jnp.maximum(jnp.log(jnp.where(q > 0, q, 1.0)), -100.0),
+                       -100.0)
     per_example = -(y_true * log_p + (1.0 - y_true) * log_1p)
     if weights is None:
         return jnp.mean(per_example)

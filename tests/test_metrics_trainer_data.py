@@ -56,6 +56,38 @@ def test_topk_metrics():
     assert res["Hit"][0].endswith("0.5000")  # user0 hit, user1 miss
 
 
+# ------------------------------------------------------------------- loss --
+
+
+def test_bce_loss_saturated_probs_finite_forward_and_grad():
+    """f32 sigmoid underflows to exactly 0.0/1.0 below/above logit ~±104;
+    torch's BCELoss clamps each log term at -100 and stays finite. Our
+    forward must match that clamp and the gradient must be finite (a bare
+    maximum(log(p), -100) has NaN grad at p == 0: 0 * inf in the VJP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenario_wise_rec_tpu.train.loss import bce_loss
+
+    p = jnp.array([0.0, 1.0, 0.5, 1e-30, 1.0 - 1e-7], jnp.float32)
+    y = jnp.array([1.0, 0.0, 1.0, 1.0, 0.0], jnp.float32)
+
+    loss = bce_loss(p, y)
+    # rows 0/1 contribute the torch clamp value 100, row 2 log(2)
+    assert np.isfinite(float(loss))
+    expected = np.mean([100.0, 100.0, np.log(2.0),
+                        -np.log(1e-30),
+                        -np.log1p(-float(jnp.float32(1.0 - 1e-7)))])
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+
+    g = jax.grad(lambda q: bce_loss(q, y))(p)
+    assert np.all(np.isfinite(np.asarray(g))), np.asarray(g)
+    # clamped region (p == 0 with y == 1): loss is constant -100 -> grad 0
+    assert float(g[0]) == 0.0 and float(g[1]) == 0.0
+    # interior: d/dp of -log(p) = -1/p
+    assert float(g[2]) == pytest.approx(-1.0 / 0.5 / len(p), rel=1e-5)
+
+
 # ----------------------------------------------------------- early stopper --
 
 
