@@ -96,15 +96,17 @@ def _bench_e2e(trainer, per_call, budget):
     loader = BatchIterable(ColumnarDataset(cols, y), BATCH, shuffle=True,
                            seed=7)
 
-    epoch_est = max(per_call * n_disp, 1e-3)
-    n_epochs = max(1, min(50, int(budget / epoch_est)))
-    _progress(f"e2e: {rows} rows/epoch ({n_disp} scanned dispatches), "
-              f"{n_epochs} timed epochs")
+    del per_call  # device dispatch time alone underestimates an e2e epoch
     # the epoch loop logs per-epoch loss to stdout; keep stdout reserved
     # for the ONE JSON line (train_one_epoch's own end-of-epoch loss fetch
     # is the host-sync barrier, same as a real fit() epoch)
     with contextlib.redirect_stdout(sys.stderr):
+        t0 = time.perf_counter()
         trainer.train_one_epoch(loader, log_interval=10**9)  # warm the path
+        epoch_est = max(time.perf_counter() - t0, 1e-3)
+        n_epochs = max(1, min(50, int(budget / epoch_est)))
+        _progress(f"e2e: {rows} rows/epoch ({n_disp} scanned dispatches, "
+                  f"warm epoch {epoch_est:.1f}s), {n_epochs} timed epochs")
         t0 = time.perf_counter()
         for _ in range(n_epochs):
             trainer.train_one_epoch(loader, log_interval=10**9)
