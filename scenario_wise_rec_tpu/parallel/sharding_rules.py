@@ -58,10 +58,37 @@ def place_opt_state(mesh: Mesh, opt_state, params):
             tree, specs,
         )
 
+    # Leaves with a param's shape that we would be silently replicating is
+    # exactly the bug this guard exists for: a future optax transform whose
+    # param-mirroring state is NOT named mu/nu (e.g. a momentum trace) would
+    # replicate a [V_total, D]-sized buffer per device.
+    param_shapes = {
+        getattr(l, "shape", None)
+        for l in jax.tree_util.tree_leaves(params)
+        if getattr(l, "ndim", 0) == 2
+    }
+
     def place_item(item):
         if hasattr(item, "mu") and hasattr(item, "nu") and hasattr(item, "_replace"):
-            return item._replace(mu=put(item.mu, pspecs),
-                                 nu=put(item.nu, pspecs))
+            placed = item._replace(mu=put(item.mu, pspecs),
+                                   nu=put(item.nu, pspecs))
+            # every other field of the state (e.g. ScaleByAdamState.count)
+            # is explicitly replicated, as the docstring promises
+            other = {
+                f: jax.device_put(getattr(placed, f), repl)
+                for f in getattr(placed, "_fields", ())
+                if f not in ("mu", "nu")
+            }
+            return placed._replace(**other) if other else placed
+        big = [
+            l for l in jax.tree_util.tree_leaves(item)
+            if getattr(l, "ndim", 0) == 2 and l.shape in param_shapes
+        ]
+        assert not big, (
+            "optimizer state carries param-shaped leaves under unrecognized "
+            f"field names ({type(item).__name__}); extend place_opt_state "
+            "before replicating them wholesale"
+        )
         return jax.device_put(item, repl)
 
     if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):

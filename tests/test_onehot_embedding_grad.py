@@ -73,6 +73,7 @@ def test_auto_mode_vocab_ceiling_decision(monkeypatch):
     ceiling fall back to the scatter transpose (the one-hot backward's FLOPs
     grow linearly in vocab); forced "onehot" ignores the ceiling."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    saved_ceiling = config.get_onehot_vocab_ceiling()
     config.set_onehot_vocab_ceiling(100_000)
     try:
         assert config.use_onehot_embedding_grad(20_000)
@@ -85,7 +86,7 @@ def test_auto_mode_vocab_ceiling_decision(monkeypatch):
         assert not config.use_onehot_embedding_grad(1)
     finally:
         config.set_embedding_grad_mode("auto")
-        config.set_onehot_vocab_ceiling(1_000_000)
+        config.set_onehot_vocab_ceiling(saved_ceiling)
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert not config.use_onehot_embedding_grad(1)
 
@@ -109,11 +110,12 @@ def test_split_gather_groups_match_single_gather():
         return (coll.apply(p, x, feats, squeeze_dim=True) ** 2).sum()
 
     base_v, base_g = jax.value_and_grad(loss)(params)
+    saved_ceiling = config.get_onehot_vocab_ceiling()
     config.set_onehot_vocab_ceiling(30)  # splits 'big' from the s* group
     try:
         split_v, split_g = jax.value_and_grad(loss)(params)
     finally:
-        config.set_onehot_vocab_ceiling(1_000_000)
+        config.set_onehot_vocab_ceiling(saved_ceiling)
     assert float(base_v) == pytest.approx(float(split_v), rel=1e-6)
     np.testing.assert_allclose(np.asarray(base_g["packed"]),
                                np.asarray(split_g["packed"]),
