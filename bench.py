@@ -9,6 +9,10 @@ BCE + backward + torch-Adam, buffers donated) on the available accelerator.
 Modes (env vars, default = full-parity f32 dense-Adam):
   SWR_SPARSE_EMB=1  lazy row-sparse Adam on the packed embedding table
                     (CTRTrainer(sparse_embedding_updates=True))
+  SWR_SPARSE_IMPL=M row-sparse Adam formulation: occurrence (default;
+                    equality-matmul dup segsum + Pallas DMA-ring row
+                    scatter — no serialized XLA scatter) | winner
+                    (winner-scatter dedup + XLA scatters)
   SWR_BF16=1        bf16 matmul inputs, f32 accumulation
   SWR_VOCAB=N       per-feature vocab (default 20000)
   SWR_BATCH=N       batch size (default 4096)
@@ -66,6 +70,9 @@ VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
 # ~5% low; compile is persistent-cached so the extra steps are cheap)
 STEPS = int(os.environ.get("SWR_STEPS", 1280))
 SPARSE = os.environ.get("SWR_SPARSE_EMB", "0") == "1"
+# row-sparse Adam formulation: winner (XLA scatters) | occurrence
+# (equality-matmul segsum + Pallas DMA-ring scatter — the big-vocab path)
+SPARSE_IMPL = os.environ.get("SWR_SPARSE_IMPL", "occurrence")
 BF16 = os.environ.get("SWR_BF16", "0") == "1"
 SCAN = int(os.environ.get("SWR_SCAN", 64))
 E2E = os.environ.get("SWR_E2E", "0") == "1"
@@ -147,7 +154,7 @@ def main():
 
     _progress("initializing params (jitted model.init)")
     trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE,
-                         scan_steps=SCAN)
+                         sparse_update_impl=SPARSE_IMPL, scan_steps=SCAN)
     params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
 
     if SCAN > 1:

@@ -268,6 +268,33 @@ class EmbeddingCollection:
             return jnp.zeros((0,), jnp.int32)
         return jnp.concatenate(parts)
 
+    def touched_owner_segments(
+            self, x: Dict[str, jnp.ndarray]) -> Tuple[Tuple[str, int, int], ...]:
+        """Static ``(owner, start, size)`` layout of :meth:`touched_ids`.
+
+        One entry per packed sparse/sequence feature, in concatenation
+        order. Segments sharing an ``owner`` draw ids from the same packed
+        span (``shared_with`` aliases), so duplicate row ids can occur
+        *across* those segments — the occurrence-segsum optimizer
+        (train/optim.py:sparse_adam_occurrence_update) must merge them
+        before deduplicating. All values are Python ints (shapes only), so
+        this is trace-time static.
+        """
+        segs: List[Tuple[str, int, int]] = []
+        pos = 0
+        for f in self.features:
+            if not isinstance(f, (SparseFeature, SequenceFeature)):
+                continue
+            owner = self._owner(f)
+            if owner not in self.offsets:
+                continue
+            size = 1
+            for s in x[f.name].shape:
+                size *= int(s)
+            segs.append((owner, pos, size))
+            pos += size
+        return tuple(segs)
+
     # -- lookup -----------------------------------------------------------
 
     def _rows_layout(self, x: Dict[str, jnp.ndarray]) -> Dict[str, tuple]:

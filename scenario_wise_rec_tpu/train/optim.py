@@ -14,6 +14,7 @@ reference's effective behavior.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -132,6 +133,229 @@ def _rows_adam_core(table, opt_state, g, gather_ids, scatter_ids,
         "step": t,
     }
     return new_table, new_state
+
+
+def sparse_adam_occurrence_init(table):
+    """Optimizer state for :func:`sparse_adam_occurrence_update`.
+
+    The COMBINED row store ``comb [V, 3, D]`` holds weights AND both Adam
+    moments interleaved per row (``comb[:, 0]`` = weights — the authority
+    during sparse-combined training, ``comb[:, 1]`` = mu, ``comb[:, 2]`` =
+    nu). Rationale (measured, scripts/bench_row_scatter.py): on TPU every
+    K-row indexed HBM op (gather or scatter, any row width 16..128) costs
+    roughly the same per row — the cost is per-row overhead, not bytes. One
+    combined store makes the whole sparse step exactly TWO indexed ops: one
+    gather ``comb[ids]`` (feeding the forward's rows AND the optimizer's
+    moments) and one scatter back — vs ~7 V-sized indexed ops in the
+    winner-scatter formulation."""
+    v, d = table.shape
+    comb = jnp.zeros((v, 3, d), table.dtype).at[:, 0, :].set(table)
+    return {
+        "comb": comb,
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _grouped_occurrence_segsum(g_rows, ids, segments, use_pallas: bool):
+    """Duplicate-gradient segment sum over the packed-id layout.
+
+    ``segments``: static ``(owner, start, size)`` per feature
+    (EmbeddingCollection.touched_owner_segments). Segments sharing an owner
+    draw from the same packed span, so they are merged before the
+    per-owner segsum; owners are then batched by merged length so the whole
+    batch is a handful of ``[F, N, D]`` kernel calls (per-owner calls would
+    pay the fixed per-dispatch cost ~23 times).
+
+    Returns ``[K, D]``: for every occurrence, the sum of the gradients of
+    ALL occurrences of the same row id — identical across duplicates, which
+    is what makes the later row writes idempotent.
+    """
+    from ..ops.pallas.row_update import occurrence_segsum, occurrence_segsum_ref
+
+    d = g_rows.shape[-1]
+    by_owner: dict = {}
+    order: list = []
+    for owner, start, size in segments:
+        if owner not in by_owner:
+            by_owner[owner] = []
+            order.append(owner)
+        by_owner[owner].append((start, size))
+
+    by_len: dict = {}
+    for owner in order:
+        pieces = by_owner[owner]
+        n = sum(z for _, z in pieces)
+        by_len.setdefault(n, []).append((owner, pieces))
+
+    out_parts: dict = {}  # start -> [size, D]
+    for n, owners in by_len.items():
+        ids_mat = jnp.stack([
+            jnp.concatenate([ids[s:s + z] for s, z in pieces])
+            if len(pieces) > 1 else ids[pieces[0][0]:pieces[0][0] + pieces[0][1]]
+            for _, pieces in owners
+        ])                                                     # [F, N]
+        g_mat = jnp.stack([
+            jnp.concatenate([g_rows[s:s + z] for s, z in pieces])
+            if len(pieces) > 1 else g_rows[pieces[0][0]:pieces[0][0] + pieces[0][1]]
+            for _, pieces in owners
+        ])                                                     # [F, N, D]
+        summed = (occurrence_segsum(ids_mat, g_mat) if use_pallas
+                  else occurrence_segsum_ref(ids_mat, g_mat))
+        for i, (_, pieces) in enumerate(owners):
+            pos = 0
+            for s, z in pieces:
+                out_parts[s] = summed[i, pos:pos + z]
+                pos += z
+    return jnp.concatenate([out_parts[s] for s in sorted(out_parts)]) \
+        if len(out_parts) > 1 else out_parts[next(iter(out_parts))]
+
+
+def sparse_adam_occurrence_update(opt_state, g_rows, ids, segments, r3,
+                                  lr: float = 1e-3, weight_decay: float = 1e-5,
+                                  b1: float = 0.9, b2: float = 0.999,
+                                  eps: float = 1e-8,
+                                  use_pallas: bool | None = None):
+    """Lazy row-sparse Adam on the combined row store — exactly TWO indexed
+    HBM ops per step (the production-vocab path, see
+    :func:`sparse_adam_occurrence_init` and ops/pallas/row_update.py).
+
+    Same torch-SparseAdam semantics as :func:`sparse_adam_rowgrads_update`
+    (duplicate occurrences segment-summed, one Adam update per unique row,
+    weight decay only on touched rows), built scatter-free except the single
+    write-back:
+
+    1. duplicate grads merged by an equality-mask MXU matmul
+       (occurrence_segsum) — every occurrence of a row id then carries the
+       identical summed gradient, making the row writes idempotent;
+    2. Adam math on the ``[K, 3, D]`` gathered rows ``r3 = comb[ids]``
+       (the caller's forward already needed this gather for the embedding
+       rows ``r3[:, 0]`` — the moments ride along for free);
+    3. ONE row scatter of the updated ``[K, 3, D]`` rows back into comb.
+
+    ``use_pallas`` controls the segsum kernel (``False`` = pure-XLA einsum,
+    required under a partitioned mesh; default: kernel on TPU). The
+    write-back is an XLA scatter either way — Mosaic's 128-lane DMA
+    alignment rules out per-row DMA at 3·D=48 floats, and the measured XLA
+    scatter is at least as fast as the DMA ring anyway
+    (scripts/bench_row_scatter.py).
+
+    Returns the new ``opt_state``; the new weights are ``comb[:, 0]``.
+    """
+    comb = opt_state["comb"]
+    if ids.shape[0] == 0:
+        return {**opt_state, "step": opt_state["step"] + 1}
+    import jax as _jax
+
+    from ..ops.pallas.row_update import scatter_rows
+
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
+    g = _grouped_occurrence_segsum(g_rows, ids, segments, use_pallas)
+    p = r3[:, 0]
+    if weight_decay:
+        g = g + weight_decay * p  # torch Adam: decay folded into the gradient
+    mu = b1 * r3[:, 1] + (1 - b1) * g
+    nu = b2 * r3[:, 2] + (1 - b2) * (g * g)
+    t = opt_state["step"] + 1
+    bc1 = 1.0 - b1 ** t.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** t.astype(jnp.float32)
+    update = lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+    new3 = jnp.stack([p - update, mu, nu], axis=1)       # [K, 3, D]
+    new_comb = scatter_rows(comb, ids, new3, force_xla=True)
+    return {"comb": new_comb, "step": t}
+
+
+def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
+                            lr: float = 1e-3, weight_decay: float = 1e-5,
+                            b1: float = 0.9, b2: float = 0.999,
+                            eps: float = 1e-8,
+                            block_rows: int = 8192,
+                            use_pallas: bool | None = None):
+    """EXACT dense torch-Adam on the packed table with ZERO scatters on TPU
+    (ops/pallas/fused_adam.py — the production-vocab update).
+
+    Unlike the lazy/SparseAdam variants this has NO parity deviation: every
+    row receives weight decay and moment decay every step, identical to the
+    reference's ``torch.optim.Adam`` over ``nn.Embedding.weight``. The
+    sparse-trainer plumbing is reused only to obtain the per-occurrence row
+    grads ``g_rows = d loss / d table[ids]`` without materializing a dense
+    gradient through autodiff's scatter-add.
+
+    ``segments``: static ``(owner, start, size)`` per feature
+    (EmbeddingCollection.touched_owner_segments) — each segment's ids are
+    sorted independently (vectorized bitonic over ``[S, N]``), which is all
+    the kernel needs (it routes ids to vocab blocks per segment).
+
+    ``use_pallas=False`` (the DEFAULT, and forced under CPU/SPMD mesh) runs
+    the identical math as one XLA scatter-add + vectorized dense Adam.
+    ``use_pallas=True`` opts into the Pallas streaming kernel — measured
+    SLOWER on the axon v5e (181 ms/step at the 467k shape): its per-id
+    scalar ``fori_loop`` costs ~0.8 µs/iteration even with an empty body
+    (Mosaic scalar-loop overhead), which buries the streaming win. Kept
+    because the architecture (zero scatters, O(V) sequential streaming) is
+    the right shape wherever scalar-loop issue is cheaper, and as the
+    numerically-pinned reference for a future chunk-vectorized rewrite.
+
+    Returns ``(new_table, new_opt_state)`` with ``{"mu", "nu", "step"}``
+    state (same layout as :func:`sparse_adam_init`).
+    """
+    from ..ops.pallas.fused_adam import (fused_dense_adam_apply,
+                                         fused_dense_adam_ref)
+
+    t = opt_state["step"] + 1
+    tf = t.astype(jnp.float32)
+    hp = jnp.stack([
+        jnp.float32(lr), jnp.float32(weight_decay),
+        jnp.float32(b1), jnp.float32(b2),
+        1.0 / (1.0 - jnp.float32(b1) ** tf),
+        1.0 / (1.0 - jnp.float32(b2) ** tf),
+        jnp.float32(eps),
+    ])
+    if use_pallas is None:
+        use_pallas = False
+    if not use_pallas:
+        new_table, new_mu, new_nu = fused_dense_adam_ref(
+            table, opt_state["mu"], opt_state["nu"], g_rows, ids, hp)
+        return new_table, {"mu": new_mu, "nu": new_nu, "step": t}
+
+    v = table.shape[0]
+    vpad = ((v + block_rows - 1) // block_rows) * block_rows
+    nb = vpad // block_rows
+    bounds = jnp.arange(nb + 1, dtype=jnp.int32) * block_rows
+
+    # per-segment sort (+ original positions), grouped by segment length so
+    # each group is ONE batched bitonic sort [S_g, N_g]
+    by_len: dict = {}
+    for si, (_, start, size) in enumerate(segments):
+        by_len.setdefault(size, []).append((si, start))
+    sorted_parts: dict = {}
+    starts_parts: dict = {}
+    concat_off = {}
+    off = 0
+    for _, start, size in segments:
+        concat_off[start] = off
+        off += size
+    for size, segs in by_len.items():
+        ids_mat = jnp.stack([ids[st:st + size] for _, st in segs])
+        pos_mat = jnp.stack(
+            [jnp.arange(st, st + size, dtype=jnp.int32) for _, st in segs])
+        sid, spos = jax.lax.sort_key_val(ids_mat, pos_mat)
+        ss = jax.vmap(lambda a: jnp.searchsorted(
+            a, bounds, side="left").astype(jnp.int32))(sid)
+        for row, (si, st) in enumerate(segs):
+            sorted_parts[si] = (sid[row], spos[row])
+            starts_parts[si] = ss[row] + concat_off[st]
+
+    order = sorted(sorted_parts)
+    sorted_ids = jnp.concatenate([sorted_parts[si][0] for si in order])
+    sorted_pos = jnp.concatenate([sorted_parts[si][1] for si in order])
+    starts = jnp.concatenate([starts_parts[si] for si in order])
+
+    new_table, new_mu, new_nu = fused_dense_adam_apply(
+        table, opt_state["mu"], opt_state["nu"], g_rows,
+        sorted_ids, sorted_pos, starts, hp, block_rows=block_rows,
+        interpret=jax.default_backend() != "tpu")
+    return new_table, {"mu": new_mu, "nu": new_nu, "step": t}
 
 
 def step_lr(step_size: int, gamma: float):

@@ -36,7 +36,9 @@ from ..data.prefetch import prefetch
 from .callback import EarlyStopper
 from .loss import bce_loss
 from .metrics import auc_score, log_loss_score
-from .optim import adam, sparse_adam_init, sparse_adam_rowgrads_update
+from .optim import (adam, fused_dense_adam_update, sparse_adam_init,
+                    sparse_adam_occurrence_init, sparse_adam_occurrence_update,
+                    sparse_adam_rowgrads_update)
 
 
 class CTRTrainer:
@@ -73,6 +75,7 @@ class CTRTrainer:
         seed: int = 0,
         mesh=None,
         sparse_embedding_updates: bool = False,
+        sparse_update_impl: str = "winner",
         fused_inference: bool = False,
         donate_buffers: bool = False,
         scan_steps: int = 1,
@@ -100,6 +103,25 @@ class CTRTrainer:
             and getattr(model, "embedding", None) is not None
             and getattr(model.embedding, "packed_names", None)
         )
+        # How the packed embedding table updates when
+        # sparse_embedding_updates=True (all reuse the rows-differentiated
+        # backward: the embedding grad is [K, D], never a dense [V, D]):
+        #   "dense"      — EXACT dense torch-Adam via the streaming fused
+        #                  Pallas kernel (ops/pallas/fused_adam.py): zero
+        #                  scatters, every row decays every step — NO
+        #                  parity deviation. The production-vocab default
+        #                  choice on TPU.
+        #   "winner"     — lazy SparseAdam: winner-scatter dedup + XLA row
+        #                  scatters (train/optim.py:sparse_adam_rowgrads_update)
+        #   "occurrence" — lazy SparseAdam: equality-matmul dup segsum +
+        #                  combined [V, 3, D] row store, exactly two
+        #                  indexed HBM ops per step
+        #                  (sparse_adam_occurrence_update)
+        # Under a mesh each impl runs its pure-XLA formulation (SPMD cannot
+        # partition a pallas_call over the row-sharded table).
+        assert sparse_update_impl in ("dense", "winner", "occurrence"), \
+            sparse_update_impl
+        self._sparse_impl = sparse_update_impl
         self.optimizer = optimizer_fn(**optimizer_params)
         self._base_lr = optimizer_params.get("lr", 1e-3)
         self._opt_params = dict(optimizer_params)
@@ -114,7 +136,19 @@ class CTRTrainer:
         # jit the init: eager op-by-op dispatch is orders slower than one
         # compiled program, even for parameter initialization
         self.params, self.state = jax.jit(model.init)(k_init)
-        if self._sparse_emb:
+        if self._sparse_emb and self._sparse_impl == "occurrence":
+            # combined-store mode: the packed table's authority moves into
+            # the [V, 3, D] comb array (optim.sparse_adam_occurrence_init);
+            # params carry NO packed leaf during training — passing the
+            # stale table through the jitted step would cost an O(V) output
+            # copy per step. Eval/save materialize it via _params_for_eval.
+            self.opt_state = {
+                "base": self.optimizer.init(self._strip_packed(self.params)),
+                "emb": sparse_adam_occurrence_init(
+                    self.params["embedding"]["packed"]),
+            }
+            self.params = self._strip_packed(self.params)
+        elif self._sparse_emb:
             self.opt_state = {
                 "base": self.optimizer.init(self._strip_packed(self.params)),
                 "emb": sparse_adam_init(self.params["embedding"]["packed"]),
@@ -162,13 +196,21 @@ class CTRTrainer:
         if self._sparse_emb:
             table_sh = NamedSharding(mesh, P("embed", None))
             emb = self.opt_state["emb"]
-            self.opt_state = {
-                "base": place_opt_state(mesh, self.opt_state["base"],
-                                        self._strip_packed(self.params)),
-                "emb": {"mu": jax.device_put(emb["mu"], table_sh),
-                        "nu": jax.device_put(emb["nu"], table_sh),
-                        "step": replicate(mesh, emb["step"])},
-            }
+            base = place_opt_state(mesh, self.opt_state["base"],
+                                   self._strip_packed(self.params))
+            if "comb" in emb:  # occurrence impl: [V, 3, D] combined store
+                emb_placed = {
+                    "comb": jax.device_put(
+                        emb["comb"], NamedSharding(mesh, P("embed", None, None))),
+                    "step": replicate(mesh, emb["step"]),
+                }
+            else:
+                emb_placed = {
+                    "mu": jax.device_put(emb["mu"], table_sh),
+                    "nu": jax.device_put(emb["nu"], table_sh),
+                    "step": replicate(mesh, emb["step"]),
+                }
+            self.opt_state = {"base": base, "emb": emb_placed}
         else:
             self.opt_state = place_opt_state(mesh, self.opt_state,
                                              self.params)
@@ -180,6 +222,35 @@ class CTRTrainer:
         """Params tree without the packed embedding leaf (sparse mode)."""
         emb = {k: v for k, v in params["embedding"].items() if k != "packed"}
         return {**params, "embedding": emb}
+
+    @property
+    def _comb_mode(self) -> bool:
+        return self._sparse_emb and self._sparse_impl == "occurrence"
+
+    def _params_for_eval(self):
+        """Params with the packed table materialized (combined-store mode
+        keeps the live weights in ``opt_state["emb"]["comb"][:, 0]``)."""
+        if not self._comb_mode:
+            return self.params
+        packed = self.opt_state["emb"]["comb"][:, 0]
+        return {**self.params,
+                "embedding": {**self.params["embedding"], "packed": packed}}
+
+    def _adopt_params(self, params):
+        """Inverse of :meth:`_params_for_eval`: accept a full params tree
+        (checkpoint load, early-stop best-weights restore) and route the
+        packed table back into the combined store in occurrence mode."""
+        if not self._comb_mode or "packed" not in params.get("embedding", {}):
+            self.params = params
+            return
+        packed = params["embedding"]["packed"]
+        emb = self.opt_state["emb"]
+        comb = jnp.asarray(emb["comb"])  # checkpoints load as numpy
+        self.opt_state = {
+            **self.opt_state,
+            "emb": {**emb, "comb": comb.at[:, 0].set(jnp.asarray(packed))},
+        }
+        self.params = self._strip_packed(params)
 
     def _make_step_body(self, optimizer):
         """One un-jitted optimizer step: the shared body of the single-step
@@ -212,8 +283,15 @@ class CTRTrainer:
             # fully-sparse mode: differentiate w.r.t. the GATHERED rows, not
             # the table — the embedding grad is [K, D], never [vocab, D]
             ids = collection.touched_ids(x)
-            packed = params["embedding"]["packed"]
-            rows = packed[ids]
+            occurrence = self._sparse_impl == "occurrence"
+            if occurrence:
+                # ONE gather serves both the forward (rows = weights) and
+                # the optimizer (mu/nu ride along in the same [K, 3, D])
+                r3 = opt_state["emb"]["comb"][ids]
+                rows = r3[:, 0]
+            else:
+                packed = params["embedding"]["packed"]
+                rows = packed[ids]
             rest = self._strip_packed(params)
 
             def loss_fn(rest_p, rows_p):
@@ -230,9 +308,26 @@ class CTRTrainer:
                 g_rest, opt_state["base"], rest
             )
             rest = optax.apply_updates(rest, updates)
-            table, emb_state = sparse_adam_rowgrads_update(
-                packed, opt_state["emb"], g_rows, ids, **adam_kw
-            )
+            if occurrence:
+                emb_state = sparse_adam_occurrence_update(
+                    opt_state["emb"], g_rows, ids,
+                    collection.touched_owner_segments(x), r3,
+                    use_pallas=False if self.mesh is not None else None,
+                    **adam_kw,
+                )
+                return (rest, {"base": base_state, "emb": emb_state},
+                        new_state, loss)
+            if self._sparse_impl == "dense":
+                table, emb_state = fused_dense_adam_update(
+                    packed, opt_state["emb"], g_rows, ids,
+                    collection.touched_owner_segments(x),
+                    use_pallas=False if self.mesh is not None else None,
+                    **adam_kw,
+                )
+            else:
+                table, emb_state = sparse_adam_rowgrads_update(
+                    packed, opt_state["emb"], g_rows, ids, **adam_kw
+                )
             params = {**rest,
                       "embedding": {**rest["embedding"], "packed": table}}
             return (params, {"base": base_state, "emb": emb_state},
@@ -414,9 +509,13 @@ class CTRTrainer:
             if val_dataloader:
                 auc, logloss = self.evaluate(self.model, val_dataloader)
                 print(f"epoch:{epoch_i} | val auc: {auc} | val logloss: {logloss}")
-                if self.early_stopper.stop_training(auc, (self.params, self.state)):
+                # snapshot with the packed table materialized so the
+                # combined-store mode restores embedding weights too
+                if self.early_stopper.stop_training(
+                        auc, (self._params_for_eval(), self.state)):
                     print(f"validation: best auc: {self.early_stopper.best_auc}")
-                    self.params, self.state = self.early_stopper.best_weights
+                    best_params, self.state = self.early_stopper.best_weights
+                    self._adopt_params(best_params)
                     break
         # NOTE: like the reference, best weights are restored only on early
         # stop; a natural end of the epoch loop keeps last-epoch weights
@@ -432,9 +531,10 @@ class CTRTrainer:
     def _predict_loader(self, data_loader):
         """Run the jitted eval step over a loader; returns (y, p, domain, w)."""
         ys, ps, ds, ws = [], [], [], []
+        eval_params = self._params_for_eval()
         for x, y, w in prefetch(data_loader, self.prefetch_depth):
             xb, yb, wb = self._device_batch(x, y, w)
-            probs = self._eval_step(self.params, self.state, xb, wb)
+            probs = self._eval_step(eval_params, self.state, xb, wb)
             keep = np.asarray(w) > 0
             ps.append(np.asarray(probs)[keep])
             if y is not None:
@@ -479,7 +579,7 @@ class CTRTrainer:
     def save(self, path: str):
         ckpt_lib.save(
             path,
-            {"params": self.params, "state": self.state,
+            {"params": self._params_for_eval(), "state": self.state,
              "opt_state": self.opt_state},
             metadata={
                 "epoch": self.epoch_i,
@@ -491,12 +591,12 @@ class CTRTrainer:
     def load(self, path: str):
         tree, meta = ckpt_lib.load(
             path,
-            {"params": self.params, "state": self.state,
+            {"params": self._params_for_eval(), "state": self.state,
              "opt_state": self.opt_state},
         )
-        self.params = tree["params"]
         self.state = tree["state"]
         self.opt_state = tree["opt_state"]
+        self._adopt_params(tree["params"])
         self.epoch_i = int(meta.get("epoch", 0))
         self.early_stopper.best_auc = float(meta.get("best_auc", 0.0))
         return meta
