@@ -26,15 +26,18 @@ Modes (env vars, default = full-parity f32 dense-Adam):
                     a calibration dispatch picks the number of timed
                     dispatches that fits T (floor 3), so the bench finishes
                     inside the driver's timeout even on a slow session
-  SWR_E2E=1         measure the REAL input pipeline end to end: a host-side
-                    dataset is streamed through BatchIterable -> prefetch
-                    thread -> [S, B] stacking -> CTRTrainer.train_one_epoch
-                    (every batch distinct, host slicing included), instead
-                    of re-feeding one resident device batch. Sized so every
-                    dispatch is a full scan -> reuses the exact same XLA
-                    program as the default mode (no extra compiles).
+  SWR_E2E=1         measure the REAL input pipeline end to end (every batch
+                    distinct, full epoch semantics). Default: the
+                    device-resident pipeline (data/device.py) — columns
+                    uploaded once, per-batch row gathers on device inside
+                    the scanned step; host work is one permutation/epoch.
+                    NOTE: a distinct XLA program from the default mode (one
+                    extra compile on a cold cache).
+  SWR_E2E_HOST=1    with SWR_E2E=1: the host pipeline instead (BatchIterable
+                    -> prefetch thread -> [S, B] stacking), which reuses
+                    the default mode's exact XLA program.
   SWR_E2E_DISPATCHES=K  scanned dispatches per epoch in E2E mode (default 4
-                    -> K*S*B rows in host memory)
+                    -> K*S*B rows in the epoch)
 
 Timing uses a REAL device-to-host fetch as the barrier:
 ``jax.block_until_ready`` is a no-op on the axon remote-TPU platform
@@ -79,17 +82,23 @@ E2E = os.environ.get("SWR_E2E", "0") == "1"
 
 
 def _bench_e2e(trainer, per_call, budget):
-    """Time CTRTrainer.train_one_epoch over a real host-side loader.
+    """Time CTRTrainer.train_one_epoch over a REAL epoch pipeline.
 
-    Row count is an exact multiple of scan_steps*batch so the epoch is pure
-    scanned dispatches — the identical XLA program the default mode already
-    compiled (no single-step remainder program, no new compiles). Returns
+    Default: the device-resident pipeline (data/device.py) — columns
+    uploaded once, batches gathered on device inside the scanned step; the
+    host's per-epoch work is one RNG permutation (this is a NEW XLA program
+    vs the default mode: expect one extra compile on a cold cache).
+    ``SWR_E2E_HOST=1``: the host pipeline instead (BatchIterable ->
+    prefetch thread -> [S, B] stacking), which reuses the default mode's
+    exact XLA program. Row count is an exact multiple of scan_steps*batch
+    so either epoch is pure scanned dispatches. Returns
     (examples_timed, seconds).
     """
     import contextlib
 
     from scenario_wise_rec_tpu.data.dataset import (BatchIterable,
                                                     ColumnarDataset)
+    from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
 
     n_disp = max(1, int(os.environ.get("SWR_E2E_DISPATCHES", 4)))
     rows = n_disp * max(SCAN, 1) * BATCH
@@ -100,8 +109,11 @@ def _bench_e2e(trainer, per_call, budget):
                  for i in range(N_DENSE)})
     cols["domain_indicator"] = rng.integers(0, DOMAINS, rows).astype(np.int32)
     y = rng.integers(0, 2, rows).astype(np.float32)
-    loader = BatchIterable(ColumnarDataset(cols, y), BATCH, shuffle=True,
-                           seed=7)
+    ds = ColumnarDataset(cols, y)
+    if os.environ.get("SWR_E2E_HOST", "0") == "1":
+        loader = BatchIterable(ds, BATCH, shuffle=True, seed=7)
+    else:
+        loader = DeviceResidentLoader(ds, BATCH, seed=7)
 
     del per_call  # device dispatch time alone underestimates an e2e epoch
     # the epoch loop logs per-epoch loss to stdout; keep stdout reserved

@@ -32,6 +32,7 @@ import numpy as np
 import optax
 
 from . import checkpoint as ckpt_lib
+from ..data.device import DeviceResidentLoader
 from ..data.prefetch import prefetch
 from .callback import EarlyStopper
 from .loss import bce_loss
@@ -407,6 +408,8 @@ class CTRTrainer:
     # ------------------------------------------------------------------
 
     def train_one_epoch(self, data_loader, log_interval: int = 10):
+        if isinstance(data_loader, DeviceResidentLoader):
+            return self.train_one_epoch_resident(data_loader, log_interval)
         # Losses stay on device until a log boundary: float(loss) every step
         # would force a host sync per dispatch and serialize the pipeline.
         pending, done = [], 0
@@ -453,6 +456,104 @@ class CTRTrainer:
                 pending.append(loss)
                 done += 1
         flush()
+
+    # -- device-resident epochs (data/device.py) -----------------------
+
+    def _build_train_step_scan_resident(self, optimizer, loader):
+        """S steps per dispatch with ON-DEVICE batch assembly: the scan
+        body gathers each batch's rows from the resident column matrices
+        (two row gathers) instead of consuming host-built arrays — the
+        host's per-dispatch work is one [S·B]-int permutation slice."""
+        body = self._make_step_body(optimizer)
+        gather_batch = loader.gather_batch
+
+        @self._jit()
+        def scan_step(params, opt_state, state, int_mat, float_mat,
+                      ids, ws, rng):
+            def f(carry, batch):
+                params, opt_state, state, rng = carry
+                bids, w = batch
+                x, y = gather_batch(int_mat[bids], float_mat[bids], bids)
+                rng, k = jax.random.split(rng)
+                params, opt_state, state, loss = body(
+                    params, opt_state, state, x, y, w, k)
+                return (params, opt_state, state, rng), loss
+
+            (params, opt_state, state, _), losses = jax.lax.scan(
+                f, (params, opt_state, state, rng), (ids, ws))
+            return params, opt_state, state, losses
+
+        return scan_step
+
+    def _resident_scan_fn(self, loader):
+        cache = getattr(self, "_resident_cache", None)
+        key = (id(loader), id(self.optimizer))
+        if cache is None or cache[0] != key:
+            self._resident_cache = (
+                key,
+                self._build_train_step_scan_resident(self.optimizer, loader),
+            )
+        return self._resident_cache[1]
+
+    def train_one_epoch_resident(self, loader: DeviceResidentLoader,
+                                 log_interval: int = 10):
+        """One epoch from device-resident columns (same batch semantics as
+        the host path — tests/test_device_resident.py). Full scan_steps
+        dispatches assemble batches on device; the remainder (< scan_steps
+        batches) reuses the already-compiled single-step program with
+        host-built batches, so no extra XLA program exists for the tail."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = max(self.scan_steps, 1)
+        b = loader.batch_size
+        nb = len(loader)
+        n_disp = nb // s
+        fn = self._resident_scan_fn(loader) if n_disp else None
+        perm, w = loader.epoch_perm()
+
+        int_mat, float_mat = loader.int_mat, loader.float_mat
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            int_mat = jax.device_put(int_mat, repl)
+            float_mat = jax.device_put(float_mat, repl)
+        pending, done = [], 0
+        n_rows = n_disp * s * b
+        if n_disp:
+            ids_all = jnp.asarray(perm[:n_rows].reshape(n_disp, s, b))
+            ws_all = jnp.asarray(w[:n_rows].reshape(n_disp, s, b))
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P(None, None, "data"))
+                ids_all = jax.device_put(ids_all, sh)
+                ws_all = jax.device_put(ws_all, sh)
+        for d in range(n_disp):
+            self.rng, k = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state,
+             losses) = fn(self.params, self.opt_state, self.state,
+                          int_mat, float_mat, ids_all[d], ws_all[d], k)
+            pending.append(losses)
+            done += s
+            if done % max(log_interval, 1) < s:
+                mean = float(np.mean([np.mean(np.asarray(l))
+                                      for l in pending]))
+                print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
+                pending = []
+        # remainder: host-built batches through the single-step program
+        ds = loader.dataset
+        for bi in range(n_disp * s, nb):
+            sel = perm[bi * b:(bi + 1) * b]
+            xb = {kk: v[sel] for kk, v in ds.x.items()}
+            yb = ds.y[sel]
+            wb = w[bi * b:(bi + 1) * b]
+            xb, yb, wb = self._device_batch(xb, yb, wb)
+            self.rng, k = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state,
+             loss) = self._train_step(
+                self.params, self.opt_state, self.state, xb, yb, wb, k)
+            pending.append(loss)
+            done += 1
+        if pending:
+            mean = float(np.mean([np.mean(np.asarray(l)) for l in pending]))
+            print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
 
     def _scan_producer(self, data_loader):
         """Group the loader into ``("scan", stacked)`` items of ``scan_steps``

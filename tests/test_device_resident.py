@@ -1,0 +1,106 @@
+"""Device-resident epochs (data/device.py): batch-for-batch equivalence with
+the host BatchIterable pipeline — same permutation stream, same padding
+semantics, same trained parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenario_wise_rec_tpu.core import DenseFeature, SequenceFeature, SparseFeature
+from scenario_wise_rec_tpu.data.dataset import BatchIterable, ColumnarDataset
+from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
+from scenario_wise_rec_tpu.models import MMOE
+from scenario_wise_rec_tpu.train import CTRTrainer
+
+FEATS = (
+    [SparseFeature(f"s{i}", vocab_size=40, embed_dim=8) for i in range(3)]
+    + [SequenceFeature("seq", vocab_size=40, embed_dim=8, pooling="mean",
+                       shared_with="s0")]
+    + [DenseFeature("d0")]
+)
+
+
+def _data(n=100, seed=3):
+    rng = np.random.default_rng(seed)
+    x = {f"s{i}": rng.integers(0, 40, n).astype(np.int64) for i in range(3)}
+    x["seq"] = rng.integers(0, 40, (n, 4)).astype(np.int64)
+    x["d0"] = rng.normal(size=n).astype(np.float32)
+    x["domain_indicator"] = rng.integers(0, 2, n).astype(np.int64)
+    y = rng.integers(0, 2, n).astype(np.float32)
+    return ColumnarDataset(x, y)
+
+
+def _trainer(scan_steps):
+    model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
+                 tower_params={"dims": [8]})
+    return CTRTrainer(model, seed=11, scan_steps=scan_steps,
+                      prefetch_depth=0)
+
+
+def test_epoch_perm_matches_batchiterable():
+    ds = _data()
+    host = BatchIterable(ds, 16, shuffle=True, seed=5)
+    res = DeviceResidentLoader(ds, 16, seed=5)
+    assert len(host) == len(res) == 7
+    for _ in range(2):  # two epochs advance the same stream
+        host_batches = list(host)
+        perm, w = res.epoch_perm()
+        for bi, (xb, yb, wb) in enumerate(host_batches):
+            sel = perm[bi * 16:(bi + 1) * 16]
+            np.testing.assert_array_equal(wb, w[bi * 16:(bi + 1) * 16])
+            for kk, v in xb.items():
+                np.testing.assert_array_equal(v, ds.x[kk][sel])
+            np.testing.assert_array_equal(yb, ds.y[sel])
+
+
+def test_resident_training_matches_host_training():
+    """Full scanned dispatches + a remainder that includes the padded final
+    batch: identical parameters after two epochs."""
+    ds = _data()
+    th = _trainer(scan_steps=3)
+    tr = _trainer(scan_steps=3)
+    host = BatchIterable(ds, 16, shuffle=True, seed=5)     # 7 batches
+    res = DeviceResidentLoader(ds, 16, seed=5)             # 2 scans + 1 rem
+    for _ in range(2):
+        th.train_one_epoch(host, log_interval=10**9)
+        tr.train_one_epoch(res, log_interval=10**9)
+    hl = {jax.tree_util.keystr(p): v
+          for p, v in jax.tree_util.tree_leaves_with_path(th.params)}
+    rl = {jax.tree_util.keystr(p): v
+          for p, v in jax.tree_util.tree_leaves_with_path(tr.params)}
+    assert set(hl) == set(rl)
+    for kk, v in rl.items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(hl[kk]),
+                                   rtol=1e-6, atol=1e-7, err_msg=kk)
+    # BN running stats advanced identically too
+    for (ps, vh), (_, vr) in zip(
+            jax.tree_util.tree_leaves_with_path(th.state),
+            jax.tree_util.tree_leaves_with_path(tr.state)):
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(vh),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(ps))
+
+
+def test_resident_training_sparse_mode():
+    """Resident epochs compose with the sparse embedding-update path."""
+    ds = _data(64)
+    model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
+                 tower_params={"dims": [8]})
+    tr = CTRTrainer(model, seed=1, scan_steps=2, prefetch_depth=0,
+                    sparse_embedding_updates=True,
+                    sparse_update_impl="occurrence")
+    res = DeviceResidentLoader(ds, 16, seed=2)
+    tr.train_one_epoch(res, log_interval=10**9)
+    # one epoch trains without error and comb moved
+    comb = np.asarray(tr.opt_state["emb"]["comb"])
+    assert np.abs(comb[:, 1:]).sum() > 0
+
+
+def test_fit_accepts_resident_loader(tmp_path):
+    ds = _data(64)
+    model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
+                 tower_params={"dims": [8]})
+    tr = CTRTrainer(model, seed=1, scan_steps=2, n_epoch=1,
+                    prefetch_depth=0, model_path=str(tmp_path))
+    res = DeviceResidentLoader(ds, 16, seed=2)
+    val = BatchIterable(_data(32, seed=9), 16)
+    tr.fit(res, val)  # epoch + eval + checkpoint write
