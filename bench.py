@@ -38,6 +38,12 @@ Modes (env vars, default = full-parity f32 dense-Adam):
                     the default mode's exact XLA program.
   SWR_E2E_DISPATCHES=K  scanned dispatches per epoch in E2E mode (default 4
                     -> K*S*B rows in the epoch)
+  SWR_BENCH_DEADLINE=T  stall guard (default 1200 s): if the run hasn't
+                    produced its measurement by T, a watchdog emits a
+                    partial-but-parseable JSON line (value 0,
+                    "partial": true, "stage": ...) so a driver timeout
+                    still finds valid output; the real line follows if
+                    the stall resolves. "compile_s" is always present.
 
 Timing uses a REAL device-to-host fetch as the barrier:
 ``jax.block_until_ready`` is a no-op on the axon remote-TPU platform
@@ -55,15 +61,62 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
 def _progress(msg: str) -> None:
-    """Progress to stderr: stdout stays reserved for the ONE JSON line, and a
+    """Progress to stderr: stdout stays reserved for the JSON line(s), and a
     driver that times out still sees how far the bench got."""
     print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Stall guard: the remote-compile service occasionally stalls for 10+ minutes
+# even on a warm cache (CLAUDE.md). If the whole run exceeds
+# SWR_BENCH_DEADLINE seconds before the real measurement lands, a watchdog
+# thread emits a PARTIAL-but-parseable JSON line (value 0, "partial": true,
+# "stage": where it was stuck) so a driver that kills the process on timeout
+# still finds a valid line on stdout. If the run later completes, the real
+# line is printed too — a last-line parser sees the good number, and the
+# partial line documents the stall. tests/test_bench_contract.py pins this.
+# ---------------------------------------------------------------------------
+
+_stage = {"name": "init", "t0": time.perf_counter()}
+_emit_lock = threading.Lock()
+
+
+def _set_stage(name: str) -> None:
+    _stage["name"] = name
+
+
+def _partial_payload():
+    return {
+        "metric": "train_throughput_mmoe_aliccp_b4096",
+        "value": 0.0,
+        "unit": "examples/s/chip",
+        "vs_baseline": None,
+        "partial": True,
+        "stage": _stage["name"],
+        "compile_s": round(time.perf_counter() - _stage["t0"], 1),
+    }
+
+
+def _emit_partial():
+    with _emit_lock:
+        print(json.dumps(_partial_payload()), flush=True)
+    _progress(f"deadline hit during stage '{_stage['name']}' — partial JSON "
+              "line emitted; continuing in case the stall resolves")
+
+
+def _start_watchdog():
+    deadline = float(os.environ.get("SWR_BENCH_DEADLINE", 1200))
+    timer = threading.Timer(deadline, _emit_partial)
+    timer.daemon = True
+    timer.start()
+    return timer
 
 BATCH = int(os.environ.get("SWR_BATCH", 4096))
 N_SPARSE, N_DENSE, DOMAINS = 23, 8, 3
@@ -164,6 +217,12 @@ def main():
     y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
     w = jnp.ones((BATCH,), jnp.float32)
 
+    timer = _start_watchdog()
+    test_stall = float(os.environ.get("SWR_TEST_STALL_S", 0))
+    if test_stall:  # simulated remote-compile stall (contract test hook)
+        _set_stage("compiling")
+        time.sleep(test_stall)
+    _set_stage("init_params")
     _progress("initializing params (jitted model.init)")
     trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE,
                          sparse_update_impl=SPARSE_IMPL, scan_steps=SCAN)
@@ -185,6 +244,7 @@ def main():
         return float(np.asarray(v).ravel()[-1])
 
     key = jax.random.PRNGKey(1)
+    _set_stage("compiling")
     _progress(f"compiling train step (backend={jax.default_backend()}, "
               f"batch={BATCH}, vocab={VOCAB}, scan={SCAN}; a cold remote "
               "compile takes minutes, warm persistent cache seconds)")
@@ -195,7 +255,9 @@ def main():
         params, opt_state, state, loss = step(params, opt_state, state,
                                               x, y, w, k)
     sync(loss)
-    _progress(f"compiled+warm in {time.perf_counter() - t_c:.1f}s")
+    compile_s = time.perf_counter() - t_c
+    _set_stage("measuring")
+    _progress(f"compiled+warm in {compile_s:.1f}s")
 
     # calibrate: one synced dispatch picks how many timed calls fit the time
     # budget, so the bench finishes inside the driver's timeout even on a
@@ -235,12 +297,15 @@ def main():
         if ref_eps:
             vs = examples_per_s / ref_eps
 
-    print(json.dumps({
-        "metric": metric,
-        "value": round(examples_per_s, 1),
-        "unit": "examples/s/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    timer.cancel()
+    with _emit_lock:
+        print(json.dumps({
+            "metric": metric,
+            "value": round(examples_per_s, 1),
+            "unit": "examples/s/chip",
+            "vs_baseline": round(vs, 2) if vs else None,
+            "compile_s": round(compile_s, 1),
+        }))
 
 
 if __name__ == "__main__":

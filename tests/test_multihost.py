@@ -1,0 +1,53 @@
+"""Execute the multi-host path for real: two OS processes, each with 4
+virtual CPU devices, joined by ``jax.distributed.initialize`` via
+``parallel/mesh.py:init_distributed``, training on one global 4x2 mesh.
+
+This is the 2-process stand-in for an N-host TPU pod: the gradient psum and
+the row-sharded table span the process boundary (each process holds only
+its half of the embedding rows), so the ``init_distributed`` code path and
+cross-process collectives genuinely execute.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_training():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets the platform itself
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MARKER init ok pid={pid} global_devices=8" in out, out
+        assert f"MARKER steps ok pid={pid}" in out, out
