@@ -138,18 +138,25 @@ def _rows_adam_core(table, opt_state, g, gather_ids, scatter_ids,
 def sparse_adam_occurrence_init(table):
     """Optimizer state for :func:`sparse_adam_occurrence_update`.
 
-    The COMBINED row store ``comb [V, 3, D]`` holds weights AND both Adam
-    moments interleaved per row (``comb[:, 0]`` = weights — the authority
-    during sparse-combined training, ``comb[:, 1]`` = mu, ``comb[:, 2]`` =
-    nu). Rationale (measured, scripts/bench_row_scatter.py): on TPU every
-    K-row indexed HBM op (gather or scatter, any row width 16..128) costs
-    roughly the same per row — the cost is per-row overhead, not bytes. One
-    combined store makes the whole sparse step exactly TWO indexed ops: one
-    gather ``comb[ids]`` (feeding the forward's rows AND the optimizer's
-    moments) and one scatter back — vs ~7 V-sized indexed ops in the
-    winner-scatter formulation."""
+    The COMBINED row store ``comb [V, 3·D]`` holds weights AND both Adam
+    moments interleaved per row (``comb[:, :D]`` = weights — the authority
+    during sparse-combined training, ``comb[:, D:2D]`` = mu,
+    ``comb[:, 2D:]`` = nu). Rationale (measured,
+    scripts/bench_row_scatter.py): on TPU every K-row indexed HBM op
+    (gather or scatter, any row width 16..128) costs roughly the same per
+    row — the cost is per-row overhead, not bytes. One combined store makes
+    the whole sparse step exactly TWO indexed ops: one gather ``comb[ids]``
+    (feeding the forward's rows AND the optimizer's moments) and one
+    scatter back — vs ~7 V-sized indexed ops in the winner-scatter
+    formulation.
+
+    Shape note: the store is 2-D ``[V, 3·D]``, NOT ``[V, 3, D]`` — XLA's
+    TPU layout tiles the last TWO dims (T(4,128)), so a [10.7M, 3, 16]
+    array pads 3->4 and 16->128 and costs 22 GB of HBM (measured OOM);
+    the flat 2-D layout stays at the logical 2 GB."""
     v, d = table.shape
-    comb = jnp.zeros((v, 3, d), table.dtype).at[:, 0, :].set(table)
+    comb = jnp.concatenate(
+        [table, jnp.zeros((v, 2 * d), table.dtype)], axis=1)
     return {
         "comb": comb,
         "step": jnp.zeros((), jnp.int32),
@@ -227,10 +234,10 @@ def sparse_adam_occurrence_update(opt_state, g_rows, ids, segments, r3,
     1. duplicate grads merged by an equality-mask MXU matmul
        (occurrence_segsum) — every occurrence of a row id then carries the
        identical summed gradient, making the row writes idempotent;
-    2. Adam math on the ``[K, 3, D]`` gathered rows ``r3 = comb[ids]``
+    2. Adam math on the ``[K, 3·D]`` gathered rows ``r3 = comb[ids]``
        (the caller's forward already needed this gather for the embedding
-       rows ``r3[:, 0]`` — the moments ride along for free);
-    3. ONE row scatter of the updated ``[K, 3, D]`` rows back into comb.
+       rows ``r3[:, :D]`` — the moments ride along for free);
+    3. ONE row scatter of the updated ``[K, 3·D]`` rows back into comb.
 
     ``use_pallas`` controls the segsum kernel (``False`` = pure-XLA einsum,
     required under a partitioned mesh; default: kernel on TPU). The
@@ -250,17 +257,18 @@ def sparse_adam_occurrence_update(opt_state, g_rows, ids, segments, r3,
 
     if use_pallas is None:
         use_pallas = _jax.default_backend() == "tpu"
+    d = g_rows.shape[-1]
     g = _grouped_occurrence_segsum(g_rows, ids, segments, use_pallas)
-    p = r3[:, 0]
+    p = r3[:, :d]
     if weight_decay:
         g = g + weight_decay * p  # torch Adam: decay folded into the gradient
-    mu = b1 * r3[:, 1] + (1 - b1) * g
-    nu = b2 * r3[:, 2] + (1 - b2) * (g * g)
+    mu = b1 * r3[:, d:2 * d] + (1 - b1) * g
+    nu = b2 * r3[:, 2 * d:] + (1 - b2) * (g * g)
     t = opt_state["step"] + 1
     bc1 = 1.0 - b1 ** t.astype(jnp.float32)
     bc2 = 1.0 - b2 ** t.astype(jnp.float32)
     update = lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
-    new3 = jnp.stack([p - update, mu, nu], axis=1)       # [K, 3, D]
+    new3 = jnp.concatenate([p - update, mu, nu], axis=1)  # [K, 3·D]
     new_comb = scatter_rows(comb, ids, new3, force_xla=True)
     return {"comb": new_comb, "step": t}
 

@@ -199,10 +199,10 @@ class CTRTrainer:
             emb = self.opt_state["emb"]
             base = place_opt_state(mesh, self.opt_state["base"],
                                    self._strip_packed(self.params))
-            if "comb" in emb:  # occurrence impl: [V, 3, D] combined store
+            if "comb" in emb:  # occurrence impl: [V, 3·D] combined store
                 emb_placed = {
                     "comb": jax.device_put(
-                        emb["comb"], NamedSharding(mesh, P("embed", None, None))),
+                        emb["comb"], NamedSharding(mesh, P("embed", None))),
                     "step": replicate(mesh, emb["step"]),
                 }
             else:
@@ -230,10 +230,11 @@ class CTRTrainer:
 
     def _params_for_eval(self):
         """Params with the packed table materialized (combined-store mode
-        keeps the live weights in ``opt_state["emb"]["comb"][:, 0]``)."""
+        keeps the live weights in ``opt_state["emb"]["comb"][:, :D]``)."""
         if not self._comb_mode:
             return self.params
-        packed = self.opt_state["emb"]["comb"][:, 0]
+        d = self.model.embedding.packed_dim
+        packed = self.opt_state["emb"]["comb"][:, :d]
         return {**self.params,
                 "embedding": {**self.params["embedding"], "packed": packed}}
 
@@ -245,11 +246,13 @@ class CTRTrainer:
             self.params = params
             return
         packed = params["embedding"]["packed"]
+        d = self.model.embedding.packed_dim
         emb = self.opt_state["emb"]
         comb = jnp.asarray(emb["comb"])  # checkpoints load as numpy
         self.opt_state = {
             **self.opt_state,
-            "emb": {**emb, "comb": comb.at[:, 0].set(jnp.asarray(packed))},
+            "emb": {**emb,
+                    "comb": comb.at[:, :d].set(jnp.asarray(packed))},
         }
         self.params = self._strip_packed(params)
 
@@ -287,9 +290,9 @@ class CTRTrainer:
             occurrence = self._sparse_impl == "occurrence"
             if occurrence:
                 # ONE gather serves both the forward (rows = weights) and
-                # the optimizer (mu/nu ride along in the same [K, 3, D])
+                # the optimizer (mu/nu ride along in the same [K, 3·D])
                 r3 = opt_state["emb"]["comb"][ids]
-                rows = r3[:, 0]
+                rows = r3[:, :collection.packed_dim]
             else:
                 packed = params["embedding"]["packed"]
                 rows = packed[ids]

@@ -44,22 +44,28 @@ def main():
     ids = jnp.asarray(rng.integers(0, v, k).astype(np.int32))
 
     def timeit(name, fn, *args, reps=20):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        # real barrier: fetch one element (block_until_ready is a no-op on
-        # the axon platform, see bench.py)
-        first = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(first.ravel()[0]))
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        try:
+            t0 = time.perf_counter()
             out = fn(*args)
-        first = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(first.ravel()[0]))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"{name:10s} {dt * 1e3:8.2f} ms/call  {k / dt / 1e6:8.2f} M rows/s"
-              f"  (compile+first {compile_s:.1f}s)", flush=True)
-        return out
+            # real barrier: fetch one element (block_until_ready is a no-op
+            # on the axon platform, see bench.py)
+            first = jax.tree_util.tree_leaves(out)[0]
+            float(np.asarray(first.ravel()[0]))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            first = jax.tree_util.tree_leaves(out)[0]
+            float(np.asarray(first.ravel()[0]))
+            dt = (time.perf_counter() - t0) / reps
+            print(f"{name:10s} {dt * 1e3:8.2f} ms/call  "
+                  f"{k / dt / 1e6:8.2f} M rows/s"
+                  f"  (compile+first {compile_s:.1f}s)", flush=True)
+            return out
+        except Exception as e:  # e.g. RESOURCE_EXHAUSTED at the [V,128] scale
+            print(f"{name:10s} FAILED: {type(e).__name__} "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            return None
 
     for w, shp in [(16, (16,)), (32, (2, 16)), (128, (128,))]:
         dst = jnp.zeros((v,) + shp, jnp.float32)

@@ -36,17 +36,26 @@ jax.config.update("jax_platforms", "cpu")  # before any backend init
 import numpy as np  # noqa: E402
 
 REF_ROOT = "/root/reference"
+_SYN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "data_synthetic")
 REF_SCRIPTS = {
     "ali_ccp": "run_ali_ccp_ctr_ranking_multi_domain.py",
     "kuairand": "run_kuairand_ctr_multi_domain.py",
     "douban": "run_douban_rank_multi_domain.py",
     "mind": "run_mind_ctr_multi_domain.py",
+    "movielens": "run_movielens_rank_multi_domain.py",
+    "amazon": "run_amazon_ctr_multi_domain.py",
 }
+# movielens + amazon raw blobs are stripped from the reference snapshot —
+# BOTH frameworks read the same schema-faithful synthetic CSVs
+# (scripts/make_synthetic_raw.py)
 DATA_PATHS = {
     "ali_ccp": f"{REF_ROOT}/scripts/data/ali-ccp",
     "kuairand": f"{REF_ROOT}/scripts/data/kuairand",
     "douban": f"{REF_ROOT}/scripts/data/douban",
     "mind": f"{REF_ROOT}/scripts/data/mind",
+    "movielens": os.path.join(_SYN, "ml-1m"),
+    "amazon": os.path.join(_SYN, "amazon_5_core"),
 }
 # the reference if/elif ladders use inconsistent casing per script (SURVEY
 # §2.2 C14); map canonical -> what each reference script expects
@@ -55,11 +64,14 @@ REF_NAME = {
     "kuairand": {"sharedbottom": "SharedBottom", "mmoe": "MMOE", "ple": "PLE"},
     "douban": {"sharedbottom": "SharedBottom", "mmoe": "MMOE", "ple": "PLE"},
     "mind": {"sharedbottom": "SharedBottom", "mmoe": "MMOE", "ple": "PLE"},
+    "movielens": {},
+    "amazon": {"sharedbottom": "Sharedbottom"},
 }
 ALL_MODELS = ["sharedbottom", "mmoe", "ple", "star", "sarnet", "epnet",
               "ppnet", "adasparse", "m2m", "adaptdhm", "hamur", "m3oe"]
 DS_NAME = {"ali_ccp": "Aliccp", "kuairand": "Kuairand",
-           "douban": "Douban", "mind": "Mind"}
+           "douban": "Douban", "mind": "Mind",
+           "movielens": "Movielens", "amazon": "amazon_5_core"}
 
 
 def write_metrics_csv(path, model, seed, metrics):
@@ -173,7 +185,8 @@ def read_metrics(path) -> dict | None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", nargs="+",
-                    default=["ali_ccp", "kuairand", "douban", "mind"])
+                    default=["ali_ccp", "kuairand", "douban", "mind",
+                             "movielens", "amazon"])
     ap.add_argument("--models", nargs="+", default=ALL_MODELS)
     ap.add_argument("--seeds", nargs="+", type=int,
                     default=[2020, 2021, 2022, 2023, 2024])

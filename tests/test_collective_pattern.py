@@ -82,9 +82,9 @@ def test_sparse_occurrence_mesh_step_never_materializes_full_store():
     tr = _trainer(mesh, sparse_embedding_updates=True,
                   sparse_update_impl="occurrence")
     txt = _compiled_text(tr)
-    assert not re.findall(r"f32\[3000,3,8\]", txt), \
+    assert not re.findall(r"f32\[3000,24\]", txt), \
         "full combined store materialized"
-    assert re.search(r"f32\[1500,3,8\]", txt), "combined-store shards missing?"
+    assert re.search(r"f32\[1500,24\]", txt), "combined-store shards missing?"
 
 
 def test_dense_mesh_step_no_full_table_allgather():

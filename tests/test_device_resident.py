@@ -92,7 +92,7 @@ def test_resident_training_sparse_mode():
     tr.train_one_epoch(res, log_interval=10**9)
     # one epoch trains without error and comb moved
     comb = np.asarray(tr.opt_state["emb"]["comb"])
-    assert np.abs(comb[:, 1:]).sum() > 0
+    assert np.abs(comb[:, 8:]).sum() > 0  # moment columns moved
 
 
 def test_fit_accepts_resident_loader(tmp_path):

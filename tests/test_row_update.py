@@ -135,10 +135,11 @@ def test_occurrence_update_matches_winner_update():
         so = sparse_adam_occurrence_update(so, g, ids, segments,
                                            so["comb"][ids],
                                            use_pallas=False, **kw)
-    np.testing.assert_allclose(np.asarray(so["comb"][:, 0]), np.asarray(tw),
+    np.testing.assert_allclose(np.asarray(so["comb"][:, :d]), np.asarray(tw),
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(so["comb"][:, 1:]),
-                               _winner_as_mom(sw), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(so["comb"][:, d:]).reshape(v, 2, d),
+        _winner_as_mom(sw), rtol=1e-5, atol=1e-6)
     assert int(so["step"]) == int(sw["step"]) == 3
 
     # and the pallas segsum kernel (interpreter) gives the same result
@@ -147,10 +148,11 @@ def test_occurrence_update_matches_winner_update():
         sp = sparse_adam_occurrence_update(sp, g, ids, segments,
                                            sp["comb"][ids],
                                            use_pallas=True, **kw)
-    np.testing.assert_allclose(np.asarray(sp["comb"][:, 0]), np.asarray(tw),
+    np.testing.assert_allclose(np.asarray(sp["comb"][:, :d]), np.asarray(tw),
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sp["comb"][:, 1:]),
-                               _winner_as_mom(sw), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sp["comb"][:, d:]).reshape(v, 2, d),
+        _winner_as_mom(sw), rtol=1e-5, atol=1e-6)
 
 
 def test_trainer_occurrence_impl_matches_winner_impl():
@@ -209,12 +211,14 @@ def test_trainer_occurrence_impl_matches_winner_impl():
         np.testing.assert_allclose(np.asarray(vo), np.asarray(pw_flat[kp]),
                                    rtol=1e-6, atol=1e-7, err_msg=kp)
     comb = np.asarray(oo["emb"]["comb"])
+    d8 = 8
     np.testing.assert_allclose(
-        comb[:, 0], np.asarray(pw_flat["['embedding']['packed']"]),
+        comb[:, :d8], np.asarray(pw_flat["['embedding']['packed']"]),
         rtol=1e-6, atol=1e-7)
     mom_w = np.stack([np.asarray(ow["emb"]["mu"]),
                       np.asarray(ow["emb"]["nu"])], axis=1)
-    np.testing.assert_allclose(comb[:, 1:], mom_w, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(comb[:, d8:].reshape(-1, 2, d8),
+                               mom_w, rtol=1e-5, atol=1e-8)
 
 
 def test_combined_mode_fit_eval_save_load(tmp_path):
