@@ -29,6 +29,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ._common import (dot as _dot, full_spec as _full_spec,
                       pad_rows as _pad_rows, row_spec as _row_spec)
@@ -37,25 +38,33 @@ Affine = Tuple[jnp.ndarray, jnp.ndarray]
 
 
 def _segment(
-    x: jnp.ndarray,                   # [B, in] (first) or [B, D, w] (later)
+    x: jnp.ndarray,                   # [B, in] (first) or [B, D·w] (later,
+                                      # domain-flattened — see layout note)
     stages: Sequence[Affine],         # each (W[D,in,out], b[D,out]), relu
     hyper: Optional[jnp.ndarray],     # [B, k, k] or None (final, no adapter)
     adapter: Optional[dict],          # u/v/b arrays, or None
     dn_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (scale, shift)
                                       # [D, w] applied as t*scale+shift+h
-    t_pre: Optional[jnp.ndarray],     # [B, D, w] previous adapter pre-norm
+    t_pre: Optional[jnp.ndarray],     # [B, D·w] previous adapter pre-norm
     final: Optional[Affine],          # (W[D,w,1], b[D,1]) + sigmoid + select
     domain_id: Optional[jnp.ndarray],
     block_rows: int,
     interpret: bool,
+    first: bool,
 ):
+    # Layout note: the inter-segment per-domain activations travel as 2-D
+    # [B, D·w], NOT [B, D, w] — XLA's TPU layout tiles the last TWO dims of
+    # a 3-D array (T(4,128)), so [4096, 3, 16] pads 3->4 and 16->128 (8-32x
+    # bytes) AND the axon XLA stack-allocates these chained pallas outputs
+    # in scoped VMEM, OOMing the compile at batch 4096 (measured). The flat
+    # layout is compact and slices per domain statically in the kernel.
     B = x.shape[0]
     if final is not None:
         D = final[0].shape[0]
     else:
         D = stages[0][0].shape[0] if stages else dn_affine[0].shape[0]
     n_stage = len(stages)
-    first = x.ndim == 2
+    w_in = None if first else x.shape[1] // D
 
     tb = min(block_rows, B)
     pad = (-B) % tb
@@ -73,13 +82,11 @@ def _segment(
         flat += [final[0], final[1]]
 
     row_ins = [x]
-    row_specs = [_row_spec(tb, x.shape[1]) if first else
-                 pl.BlockSpec((tb,) + x.shape[1:], lambda i: (i, 0, 0))]
+    row_specs = [_row_spec(tb, x.shape[1])]
     if t_pre is not None:
         t_pre = _pad_rows(t_pre, pad)
         row_ins.append(t_pre)
-        row_specs.append(pl.BlockSpec((tb,) + t_pre.shape[1:],
-                                      lambda i: (i, 0, 0)))
+        row_specs.append(_row_spec(tb, t_pre.shape[1]))
     if hyper is not None:
         hyper = _pad_rows(hyper, pad)
         row_ins.append(hyper)
@@ -98,10 +105,9 @@ def _segment(
         out_shapes = jax.ShapeDtypeStruct((bp, 1), jnp.float32)
         out_specs = _row_spec(tb, 1)
     else:
-        out_shapes = (jax.ShapeDtypeStruct((bp, D, w_out), jnp.float32),
-                      jax.ShapeDtypeStruct((bp, D, w_out), jnp.float32))
-        out_specs = (pl.BlockSpec((tb, D, w_out), lambda i: (i, 0, 0)),
-                     pl.BlockSpec((tb, D, w_out), lambda i: (i, 0, 0)))
+        out_shapes = (jax.ShapeDtypeStruct((bp, D * w_out), jnp.float32),
+                      jax.ShapeDtypeStruct((bp, D * w_out), jnp.float32))
+        out_specs = (_row_spec(tb, D * w_out), _row_spec(tb, D * w_out))
 
     def kernel(*refs):
         n_row = len(row_ins)
@@ -139,9 +145,10 @@ def _segment(
             if first:
                 h = x_ref[:]
             else:
-                h = x_ref[:, d, :]
+                h = x_ref[:, d * w_in:(d + 1) * w_in]
                 # adapter norm folded affine + residual (hamur.py:191-198)
-                h = tpre_ref[:, d, :] * dn[0][d] + dn[1][d] + h
+                h = (tpre_ref[:, d * w_in:(d + 1) * w_in] * dn[0][d]
+                     + dn[1][d] + h)
             for w_ref, b_ref in st:
                 h = jax.nn.relu(_dot(h, w_ref[d]) + b_ref[d])
             hs.append(h)
@@ -166,8 +173,8 @@ def _segment(
             p2 = _dot(t, u_u[:])
             q2 = jnp.sum(p2[:, :, None] * hy, axis=1)
             t = _dot(q2, v_u[:]) + b_u[:]             # [tb, w] pre-norm
-            orefs[0][:, d, :] = t
-            orefs[1][:, d, :] = h
+            orefs[0][:, d * w_out:(d + 1) * w_out] = t
+            orefs[1][:, d * w_out:(d + 1) * w_out] = h
 
     out = pl.pallas_call(
         kernel,
@@ -175,6 +182,14 @@ def _segment(
         in_specs=row_specs + [_full_spec(a) for a in flat],
         out_specs=out_specs,
         out_shape=out_shapes,
+        # XLA stack-allocates the chained segment outputs in scoped VMEM;
+        # under the default budget the compile OOMs at batch 4096
+        # ("allocating on stack ... S(1)", measured). Raising the budget to
+        # the full 128 MB VMEM lets the whole segment chain fit (the flat
+        # 2-D [B, D·w] activation layout above keeps each tensor compact —
+        # the 3-D form padded 8-32x and could not fit at any budget).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(*row_ins, *flat)
     if final is not None:
@@ -215,21 +230,30 @@ def hamur_fused_infer(
     x = emb
     t_pre = None
     dn_affine = None
+    first = True
     for j, adapter in enumerate(adapters):
+        # inter-segment activations are 2-D [B, D·w] (see _segment's layout
+        # note — 3-D shapes OOM the compile via layout padding + scoped-VMEM
+        # stack allocation)
         t_pre_new, h_res = _segment(
             x, segments[j], hyper, adapter, dn_affine, t_pre,
             final=None, domain_id=None,
-            block_rows=block_rows, interpret=interpret)
+            block_rows=block_rows, interpret=interpret, first=first)
         # batch stats of the pre-norm adapter output (unbiased var,
         # hamur.py:191-195; padded w=0 rows excluded — ops/nn.batch_stats),
         # folded to a per-domain affine
         from ..nn import batch_stats
 
-        mean, var, n = batch_stats(t_pre_new, w)                # [D, w]
+        mean, var, n = batch_stats(t_pre_new, w)                # [D·w]
         var = var * (n / jnp.maximum(n - 1.0, 1.0))
-        scale = adapter["gamma"] * jax.lax.rsqrt(var + eps)
+        w_dim = adapter["gamma"].shape[0]       # gamma/beta are [w], shared
+        d_num = t_pre_new.shape[1] // w_dim     # across domains (hamur.py:104)
+        mean = mean.reshape(d_num, w_dim)
+        var = var.reshape(d_num, w_dim)
+        scale = adapter["gamma"] * jax.lax.rsqrt(var + eps)     # -> [D, w]
         shift = adapter["beta"] - mean * scale
         x, t_pre, dn_affine = h_res, t_pre_new, (scale, shift)
+        first = False
     return _segment(x, segments[-1], None, None, dn_affine, t_pre,
                     final=final, domain_id=domain_id,
-                    block_rows=block_rows, interpret=interpret)
+                    block_rows=block_rows, interpret=interpret, first=first)

@@ -27,6 +27,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ._common import (dot as _dot, full_spec as _full_spec,
                       pad_rows as _pad_rows, row_spec as _row_spec)
@@ -147,6 +148,11 @@ def m2m_fused_infer(
         in_specs=in_specs,
         out_specs=_row_spec(tb, 1),
         out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        # the axon XLA stack-allocates large operands of chained XLA->pallas
+        # pipelines in scoped VMEM; an explicit budget keeps the compile
+        # from OOMing at batch 4096 (see hamur_infer.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(t_out, dom_emb, *flat)
     return out[:B, 0]
