@@ -95,6 +95,37 @@ def test_resident_training_sparse_mode():
     assert np.abs(comb[:, 8:]).sum() > 0  # moment columns moved
 
 
+def test_resident_training_on_mesh_matches_single_device():
+    """The resident scan under a (data, embed) mesh: column matrices
+    replicated, permutation sharded on the batch axis — same training as
+    the single-device resident run."""
+    from scenario_wise_rec_tpu.parallel.mesh import make_mesh
+
+    ds = _data(96)
+
+    def run(mesh):
+        model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
+                     tower_params={"dims": [8]})
+        tr = CTRTrainer(model, seed=11, scan_steps=2, prefetch_depth=0,
+                        mesh=mesh)
+        res = DeviceResidentLoader(ds, 16, seed=5)
+        tr.train_one_epoch(res, log_interval=10**9)
+        return tr.params
+
+    p1 = run(None)
+    p2 = run(make_mesh(n_data=4, n_embed=2))
+    # 6 sharded optimizer steps amplify the psum-vs-serial reduction-order
+    # noise through Adam's rsqrt; the existing mesh e2e tests use the same
+    # looseness (tests/test_parallel.py:161-166)
+    for (kp, v1), (_, v2) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(p1),
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(p2),
+                   key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-3, err_msg=str(kp))
+
+
 def test_fit_accepts_resident_loader(tmp_path):
     ds = _data(64)
     model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
