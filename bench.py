@@ -94,7 +94,8 @@ def _set_stage(name: str) -> None:
 
 def _partial_payload():
     return {
-        "metric": "train_throughput_mmoe_aliccp_b4096",
+        "metric": ("train_e2e_throughput_mmoe_aliccp_b4096" if E2E
+                   else "train_throughput_mmoe_aliccp_b4096"),
         "value": 0.0,
         "unit": "examples/s/chip",
         "vs_baseline": None,

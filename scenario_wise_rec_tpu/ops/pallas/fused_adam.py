@@ -142,7 +142,7 @@ def fused_dense_adam_apply(table, mu, nu, g_rows, sorted_ids, sorted_pos,
 
     brp = block_rows // r
 
-    def row_spec(i):
+    def row_spec():
         return pl.BlockSpec((brp, 128), lambda b, *s: (b, 0),
                             memory_space=pltpu.VMEM)
 
@@ -154,9 +154,9 @@ def fused_dense_adam_apply(table, mu, nu, g_rows, sorted_ids, sorted_pos,
             in_specs=[
                 pl.BlockSpec(((k + kpad) // r, 128), lambda b, *s: (0, 0),
                              memory_space=pltpu.VMEM),
-                row_spec(0), row_spec(1), row_spec(2),
+                row_spec(), row_spec(), row_spec(),
             ],
-            out_specs=[row_spec(3), row_spec(4), row_spec(5)],
+            out_specs=[row_spec(), row_spec(), row_spec()],
             scratch_shapes=[pltpu.VMEM((brp, 128), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((vpad // r, 128), jnp.float32)] * 3,

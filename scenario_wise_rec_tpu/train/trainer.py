@@ -115,7 +115,7 @@ class CTRTrainer:
         #   "winner"     — lazy SparseAdam: winner-scatter dedup + XLA row
         #                  scatters (train/optim.py:sparse_adam_rowgrads_update)
         #   "occurrence" — lazy SparseAdam: equality-matmul dup segsum +
-        #                  combined [V, 3, D] row store, exactly two
+        #                  combined [V, 3·D] row store, exactly two
         #                  indexed HBM ops per step
         #                  (sparse_adam_occurrence_update)
         # Under a mesh each impl runs its pure-XLA formulation (SPMD cannot
@@ -139,7 +139,7 @@ class CTRTrainer:
         self.params, self.state = jax.jit(model.init)(k_init)
         if self._sparse_emb and self._sparse_impl == "occurrence":
             # combined-store mode: the packed table's authority moves into
-            # the [V, 3, D] comb array (optim.sparse_adam_occurrence_init);
+            # the [V, 3·D] comb array (optim.sparse_adam_occurrence_init);
             # params carry NO packed leaf during training — passing the
             # stale table through the jitted step would cost an O(V) output
             # copy per step. Eval/save materialize it via _params_for_eval.
@@ -489,14 +489,17 @@ class CTRTrainer:
         return scan_step
 
     def _resident_scan_fn(self, loader):
+        # cache holds STRONG refs to (loader, optimizer) and compares by
+        # identity — id()-keyed caching would alias if a freed loader's id
+        # were reused, silently running a stale gather_batch closure
         cache = getattr(self, "_resident_cache", None)
-        key = (id(loader), id(self.optimizer))
-        if cache is None or cache[0] != key:
+        if (cache is None or cache[0] is not loader
+                or cache[1] is not self.optimizer):
             self._resident_cache = (
-                key,
+                loader, self.optimizer,
                 self._build_train_step_scan_resident(self.optimizer, loader),
             )
-        return self._resident_cache[1]
+        return self._resident_cache[2]
 
     def train_one_epoch_resident(self, loader: DeviceResidentLoader,
                                  log_interval: int = 10):

@@ -2,7 +2,7 @@
 equivalence (occurrence impl == winner impl == dense Adam on touched rows).
 
 The kernels run in interpreter mode here (CPU); the real-chip numerics
-artifact comes from scripts/bench_sparse_vocab.py runs recorded in README.
+artifact is PROFILE.md (scripts/bench_row_scatter.py + bench.py A/B runs).
 """
 
 import jax
