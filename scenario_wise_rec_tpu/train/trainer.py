@@ -76,7 +76,7 @@ class CTRTrainer:
         seed: int = 0,
         mesh=None,
         sparse_embedding_updates: bool = False,
-        sparse_update_impl: str = "winner",
+        sparse_update_impl: str = "occurrence",
         fused_inference: bool = False,
         donate_buffers: bool = False,
         scan_steps: int = 1,
@@ -114,9 +114,10 @@ class CTRTrainer:
         #                  choice on TPU.
         #   "winner"     — lazy SparseAdam: winner-scatter dedup + XLA row
         #                  scatters (train/optim.py:sparse_adam_rowgrads_update)
-        #   "occurrence" — lazy SparseAdam: equality-matmul dup segsum +
-        #                  combined [V, 3·D] row store, exactly two
-        #                  indexed HBM ops per step
+        #   "occurrence" (DEFAULT) — lazy SparseAdam: equality-matmul dup
+        #                  segsum + combined [V, 3·D] row store, exactly
+        #                  two indexed HBM ops per step — the measured-best
+        #                  production-vocab mode (PROFILE.md)
         #                  (sparse_adam_occurrence_update)
         # Under a mesh each impl runs its pure-XLA formulation (SPMD cannot
         # partition a pallas_call over the row-sharded table).

@@ -55,7 +55,8 @@ def main():
     w = jnp.ones((BATCH,), jnp.float32)
 
     tr_dense = CTRTrainer(model, seed=0)
-    tr_sparse = CTRTrainer(model, seed=0, sparse_embedding_updates=True)
+    tr_sparse = CTRTrainer(model, seed=0, sparse_embedding_updates=True,
+                           sparse_update_impl="winner")  # the impl PROFILE.md attributes
     params, state = tr_dense.params, tr_dense.state
 
     @jax.jit

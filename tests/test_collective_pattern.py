@@ -68,7 +68,8 @@ def _shapes(txt, op_prefix):
 
 def test_sparse_mesh_step_never_materializes_full_table():
     mesh = make_mesh(n_data=4, n_embed=2)
-    tr = _trainer(mesh, sparse_embedding_updates=True)
+    tr = _trainer(mesh, sparse_embedding_updates=True,
+                  sparse_update_impl="winner")
     txt = _compiled_text(tr)
     # SPMD shapes are per-shard: the full packed table (3000 rows) must not
     # exist anywhere; its 1500-row shards must

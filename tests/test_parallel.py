@@ -108,7 +108,8 @@ def test_trainer_sparse_mode_on_mesh():
 
     model, x, y = _model_and_batch(batch=32)
     mesh = make_mesh(n_data=8, n_embed=1)
-    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True, seed=3)
+    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True,
+                    sparse_update_impl="winner", seed=3)
     xb = {k: jnp.asarray(v) for k, v in x.items()}
     w = jnp.ones((32,), jnp.float32)
     xb, yb, wb = tr._shard(xb, jnp.asarray(y), w)
@@ -117,7 +118,8 @@ def test_trainer_sparse_mode_on_mesh():
                                        xb, yb, wb, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     # equivalence with the single-device sparse step
-    tr1 = CTRTrainer(model, sparse_embedding_updates=True, seed=3)
+    tr1 = CTRTrainer(model, sparse_embedding_updates=True,
+                     sparse_update_impl="winner", seed=3)
     p1, o1, s1, loss1 = tr1._train_step(
         tr1.params, tr1.opt_state, tr1.state,
         {k: jnp.asarray(v) for k, v in x.items()}, jnp.asarray(y), w,
@@ -181,13 +183,15 @@ def test_trainer_sparse_row_sharded_matches_single_device():
     w = jnp.ones((32,), jnp.float32)
     xb = {k: jnp.asarray(v) for k, v in x.items()}
 
-    tr1 = CTRTrainer(model, sparse_embedding_updates=True, seed=3)
+    tr1 = CTRTrainer(model, sparse_embedding_updates=True,
+                     sparse_update_impl="winner", seed=3)
     p1, o1, s1, loss1 = tr1._train_step(
         tr1.params, tr1.opt_state, tr1.state, xb, jnp.asarray(y), w,
         jax.random.PRNGKey(0))
 
     mesh = make_mesh(n_data=4, n_embed=2)
-    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True, seed=3)
+    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True,
+                    sparse_update_impl="winner", seed=3)
     table = tr.params["embedding"]["packed"]
     assert max(s.data.shape[0] for s in table.addressable_shards) \
         < table.shape[0]
@@ -204,6 +208,34 @@ def test_trainer_sparse_row_sharded_matches_single_device():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(o8["emb"]["mu"]),
                                np.asarray(o1["emb"]["mu"]), atol=1e-6)
+
+
+def test_trainer_occurrence_row_sharded_matches_single_device():
+    """The DEFAULT sparse impl (occurrence combined row store) under a 4x2
+    mesh: comb row-sharded over ``embed``, step equals single-device."""
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, x, y = _model_and_batch(batch=32)
+    w = jnp.ones((32,), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+
+    tr1 = CTRTrainer(model, sparse_embedding_updates=True, seed=3)
+    p1, o1, s1, loss1 = tr1._train_step(
+        tr1.params, tr1.opt_state, tr1.state, xb, jnp.asarray(y), w,
+        jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True, seed=3)
+    comb = tr.opt_state["emb"]["comb"]
+    assert max(sh.data.shape[0] for sh in comb.addressable_shards) \
+        < comb.shape[0], "combined row store not row-sharded"
+
+    xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
+    p8, o8, s8, loss8 = tr._train_step(
+        tr.params, tr.opt_state, tr.state, xs, ys, ws, jax.random.PRNGKey(0))
+    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
+    np.testing.assert_allclose(np.asarray(o8["emb"]["comb"]),
+                               np.asarray(o1["emb"]["comb"]), atol=2e-5)
 
 
 def test_fit_on_mesh_e2e():

@@ -106,9 +106,10 @@ def test_scan_sparse_embedding_mode():
           for k in batches[0][0]}
     ys = jnp.asarray(np.stack([b[1] for b in batches]))
     ws = jnp.asarray(np.stack([b[2] for b in batches]))
-    p2, _, _, _ = sc._train_step_scan(
+    p2, o2, _, _ = sc._train_step_scan(
         sc.params, sc.opt_state, sc.state, xs, ys, ws, jax.random.PRNGKey(0))
 
+    # default sparse impl is "occurrence": the live table is comb[:, :D]
     np.testing.assert_allclose(
-        np.asarray(p["embedding"]["packed"]),
-        np.asarray(p2["embedding"]["packed"]), rtol=1e-5, atol=1e-6)
+        np.asarray(o["emb"]["comb"]),
+        np.asarray(o2["emb"]["comb"]), rtol=1e-5, atol=1e-6)

@@ -145,7 +145,8 @@ def test_trainer_sparse_mode_matches_dense_step():
                              bottom_params={"dims": [8]},
                              tower_params={"dims": [4]})
         tr = CTRTrainer(model, n_epoch=1, seed=7,
-                        sparse_embedding_updates=sparse)
+                        sparse_embedding_updates=sparse,
+                        sparse_update_impl="winner")
         return model, tr
 
     _, tr_d = make(False)
