@@ -86,6 +86,15 @@ def occurrence_segsum(ids: jnp.ndarray, g: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     f, n, d = g.shape
     ti = min(tile, n)
+    if not interpret:
+        # Mosaic requires lane-dim slices at 128-multiples ("cannot
+        # statically prove that index in dimension 1 is a multiple of
+        # 128"); round the tile down to one, and for small batches
+        # (n < 128 — e.g. CLI debug runs) use the XLA formulation, which
+        # is cheap at that size anyway.
+        ti = (ti // 128) * 128
+        if ti == 0:
+            return occurrence_segsum_ref(ids, g)
     pad = (-n) % ti
     if pad:
         # sentinel -1 never equals a real id (ids >= 0); padded g rows are 0

@@ -33,8 +33,14 @@ def apply_device(device: str) -> None:
 def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         epoch: int, learning_rate: float, batch_size: int, weight_decay: float,
         device: str, save_dir: str, seed: int, earlystop_patience: int,
-        scheduler_params: dict, split_ratio=None):
-    """Train + evaluate one model; returns (auc, logloss, per-domain lists)."""
+        scheduler_params: dict, split_ratio=None, args=None):
+    """Train + evaluate one model; returns (auc, logloss, per-domain lists).
+
+    ``args``: the parsed standard_argparser namespace — carries the opt-in
+    TPU-native flags (--scan_steps, --sparse_embedding_updates,
+    --sparse_update_impl, --fused_inference, --device_resident). Every
+    default reproduces the reference protocol exactly.
+    """
     apply_device(device)
     dg = DataGenerator(data["x_train"], data["y_train"])
     if split_ratio is not None:
@@ -53,7 +59,18 @@ def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         optimizer_params={"lr": learning_rate, "weight_decay": weight_decay},
         n_epoch=epoch, earlystop_patience=earlystop_patience, device=device,
         model_path=save_dir, seed=seed, scheduler_params=scheduler_params,
+        scan_steps=getattr(args, "scan_steps", 1),
+        sparse_embedding_updates=getattr(args, "sparse_embedding_updates",
+                                         False),
+        sparse_update_impl=getattr(args, "sparse_update_impl", "occurrence"),
+        fused_inference=getattr(args, "fused_inference", False),
     )
+    if getattr(args, "device_resident", False):
+        from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
+
+        # same shuffle stream as the BatchIterable it replaces
+        train_dl = DeviceResidentLoader(train_dl.dataset, batch_size,
+                                        seed=seed)
     trainer.fit(train_dl, val_dl)
     domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
         trainer.model, test_dl, domain_num
@@ -96,4 +113,19 @@ def standard_argparser(default_path: str):
                         help="use a small synthetic dataset with the right "
                              "schema (for datasets whose raw files are not "
                              "bundled)")
+    # opt-in TPU-native options (defaults reproduce the reference protocol)
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="optimizer steps per device dispatch (lax.scan)")
+    parser.add_argument("--sparse_embedding_updates", action="store_true",
+                        help="rows-differentiated embedding updates (the "
+                             "production-vocab path)")
+    parser.add_argument("--sparse_update_impl", default="occurrence",
+                        choices=["dense", "winner", "occurrence"],
+                        help="embedding update formulation (see README)")
+    parser.add_argument("--fused_inference", action="store_true",
+                        help="Pallas fused eval kernels (PROFILE.md per-"
+                             "model guidance)")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="device-resident epochs: batches assembled on "
+                             "the TPU (data/device.py)")
     return parser

@@ -111,7 +111,7 @@ def get_ali_ccp_data_dict_ppnet(data_path):
 
 
 def main(dataset_path, model_name, epoch, learning_rate, batch_size,
-         weight_decay, device, save_dir, seed):
+         weight_decay, device, save_dir, seed, args=None):
     from _runner import apply_device
 
     apply_device(device)
@@ -136,7 +136,17 @@ def main(dataset_path, model_name, epoch, learning_rate, batch_size,
         n_epoch=epoch, earlystop_patience=5, device=device,
         model_path=save_dir, seed=seed,
         scheduler_params={"step_size": 4, "gamma": 0.95},
+        scan_steps=getattr(args, "scan_steps", 1),
+        sparse_embedding_updates=getattr(args, "sparse_embedding_updates",
+                                         False),
+        sparse_update_impl=getattr(args, "sparse_update_impl", "occurrence"),
+        fused_inference=getattr(args, "fused_inference", False),
     )
+    if getattr(args, "device_resident", False):
+        from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
+
+        train_dl = DeviceResidentLoader(train_dl.dataset, batch_size,
+                                        seed=seed)
     trainer.fit(train_dl, val_dl)
     domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
         trainer.model, test_dl, domain_num
@@ -170,7 +180,14 @@ if __name__ == "__main__":
     parser.add_argument("--device", default="")
     parser.add_argument("--save_dir", default="./")
     parser.add_argument("--seed", type=int, default=2022)
+    # opt-in TPU-native options (defaults reproduce the reference protocol)
+    parser.add_argument("--scan_steps", type=int, default=1)
+    parser.add_argument("--sparse_embedding_updates", action="store_true")
+    parser.add_argument("--sparse_update_impl", default="occurrence",
+                        choices=["dense", "winner", "occurrence"])
+    parser.add_argument("--fused_inference", action="store_true")
+    parser.add_argument("--device_resident", action="store_true")
     args = parser.parse_args()
     main(args.dataset_path, args.model_name, args.epoch, args.learning_rate,
          args.batch_size, args.weight_decay, args.device, args.save_dir,
-         args.seed)
+         args.seed, args=args)

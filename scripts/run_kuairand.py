@@ -61,7 +61,8 @@ def main(args):
         args.learning_rate, args.batch_size, args.weight_decay, args.device,
         args.save_dir, args.seed, earlystop_patience=4,
         scheduler_params={"step_size": 4, "gamma": 0.75},
-        split_ratio=[0.8, 0.1])
+        split_ratio=[0.8, 0.1],
+        args=args)
 
 
 if __name__ == "__main__":
