@@ -18,7 +18,6 @@ import re
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
 from scenario_wise_rec_tpu.models import MMOE

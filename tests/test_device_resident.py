@@ -3,7 +3,6 @@ the host BatchIterable pipeline — same permutation stream, same padding
 semantics, same trained parameters."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from scenario_wise_rec_tpu.core import DenseFeature, SequenceFeature, SparseFeature

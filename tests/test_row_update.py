@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from scenario_wise_rec_tpu.core import DenseFeature, SequenceFeature, SparseFeature
-from scenario_wise_rec_tpu.ops.embedding import EmbeddingCollection
 from scenario_wise_rec_tpu.ops.pallas.row_update import (
     occurrence_segsum, occurrence_segsum_ref, scatter_rows)
 from scenario_wise_rec_tpu.train.optim import (
