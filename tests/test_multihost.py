@@ -22,7 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_training():
+def _run_workers():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
@@ -47,6 +47,16 @@ def test_two_process_distributed_training():
         for p in procs:
             p.kill()
         pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    return procs, outs
+
+
+def test_two_process_distributed_training():
+    procs, outs = _run_workers()
+    if any(p.returncode != 0 for p in procs):
+        # one retry with a fresh coordinator port: the free-port probe
+        # releases the socket before the coordinator rebinds it, so a
+        # parallel process can steal the port in between (rare)
+        procs, outs = _run_workers()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"MARKER init ok pid={pid} global_devices=8" in out, out
