@@ -366,6 +366,88 @@ def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
     return new_table, {"mu": new_mu, "nu": new_nu, "step": t}
 
 
+def sorted_dense_adam_init(table, block_rows: int = 8192):
+    """Optimizer state for :func:`sorted_dense_adam_update`.
+
+    The authority table + Adam moments live PADDED to
+    ``(nb + 1) * block_rows`` rows for the whole run: ``nb`` real vocab
+    blocks for the streaming kernel plus one PAD block that absorbs the
+    work-list's surplus items (ops/pallas/sorted_adam.py). Padding per
+    step instead would cost six O(V) copies. Pad rows stay exactly zero
+    (their gradient and weight-decay term are both zero), so
+    ``state["table"][:V]`` is always the live packed table — the trainer's
+    eval/save path materializes it (CTRTrainer._params_for_eval).
+    """
+    v, d = table.shape
+    nb = -(-v // block_rows)
+    pad = (nb + 1) * block_rows - v
+    z = jnp.zeros((pad, d), table.dtype)
+    full = jnp.concatenate([table, z])
+    return {
+        "table": full,
+        "mu": jnp.zeros_like(full),
+        "nu": jnp.zeros_like(full),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
+                             lr: float = 1e-3, weight_decay: float = 1e-5,
+                             b1: float = 0.9, b2: float = 0.999,
+                             eps: float = 1e-8,
+                             block_rows: int = 8192,
+                             reorder: str = "gather",
+                             use_pallas: bool | None = None):
+    """EXACT dense torch-Adam via the chunk-vectorized sorted streaming
+    kernel (ops/pallas/sorted_adam.py) — zero scatters, zero per-id scalar
+    ops; the production-vocab update that breaks the ~330k ex/s
+    scatter-class ceiling (PROFILE.md SS3).
+
+    Identical semantics to the reference's ``torch.optim.Adam`` over
+    ``nn.Embedding.weight`` (ctr_trainer.py:50-52): every row receives
+    weight decay and moment decay every step — NO lazy/SparseAdam
+    deviation. Differs from ``sparse_update_impl="dense"``
+    (:func:`fused_dense_adam_update`) only in the mechanism: that impl's
+    XLA formulation pays one ~12 ms scatter-add per step and its Pallas
+    kernel a per-id scalar loop; this one pays neither.
+
+    ``offsets``: owner -> packed row offset (EmbeddingCollection.offsets),
+    needed to concatenate the per-owner sorts in global order.
+    ``reorder``: how gradient rows reach sorted order ("gather" |
+    "payload", see ops/pallas/sorted_adam.owner_sorted_grads).
+    ``use_pallas=False`` (forced under a partitioned mesh, default on CPU)
+    runs the identical math as one XLA scatter-add + vectorized dense Adam.
+
+    Returns the new ``opt_state``; live weights are ``state["table"][:V]``.
+    """
+    from ..ops.pallas.fused_adam import fused_dense_adam_ref
+    from ..ops.pallas.sorted_adam import (owner_sorted_grads,
+                                          sorted_dense_adam_apply)
+
+    table, mu, nu = opt_state["table"], opt_state["mu"], opt_state["nu"]
+    t = opt_state["step"] + 1
+    tf = t.astype(jnp.float32)
+    hp = jnp.stack([
+        jnp.float32(lr), jnp.float32(weight_decay),
+        jnp.float32(b1), jnp.float32(b2),
+        1.0 / (1.0 - jnp.float32(b1) ** tf),
+        1.0 / (1.0 - jnp.float32(b2) ** tf),
+        jnp.float32(eps),
+    ])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    d = table.shape[1]
+    if not use_pallas or 128 % d != 0 or ids.shape[0] == 0:
+        nt, nm, nn = fused_dense_adam_ref(table, mu, nu, g_rows, ids, hp)
+        return {"table": nt, "mu": nm, "nu": nn, "step": t}
+    sorted_ids, g_sorted = owner_sorted_grads(ids, g_rows, segments,
+                                              offsets, reorder=reorder)
+    nt, nm, nn = sorted_dense_adam_apply(
+        table, mu, nu, sorted_ids, g_sorted, hp, block_rows=block_rows,
+        interpret=jax.default_backend() != "tpu")
+    return {"table": nt, "mu": nm, "nu": nn, "step": t}
+
+
 def step_lr(step_size: int, gamma: float):
     """StepLR multiplier: ``gamma ** (epoch // step_size)``.
 

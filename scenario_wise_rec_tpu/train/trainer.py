@@ -37,7 +37,8 @@ from ..data.prefetch import prefetch
 from .callback import EarlyStopper
 from .loss import bce_loss
 from .metrics import auc_score, log_loss_score
-from .optim import (adam, fused_dense_adam_update, sparse_adam_init,
+from .optim import (adam, fused_dense_adam_update, sorted_dense_adam_init,
+                    sorted_dense_adam_update, sparse_adam_init,
                     sparse_adam_occurrence_init, sparse_adam_occurrence_update,
                     sparse_adam_rowgrads_update)
 
@@ -81,6 +82,8 @@ class CTRTrainer:
         donate_buffers: bool = False,
         scan_steps: int = 1,
         prefetch_depth: int = 2,
+        sorted_reorder: str = "gather",
+        sorted_block_rows: int = 8192,
     ):
         self.model = model
         self.data_set_type = data_set_type
@@ -117,13 +120,22 @@ class CTRTrainer:
         #   "occurrence" (DEFAULT) — lazy SparseAdam: equality-matmul dup
         #                  segsum + combined [V, 3·D] row store, exactly
         #                  two indexed HBM ops per step — the measured-best
-        #                  production-vocab mode (PROFILE.md)
+        #                  LAZY production-vocab mode (PROFILE.md)
         #                  (sparse_adam_occurrence_update)
+        #   "sorted"     — EXACT dense torch-Adam via the chunk-vectorized
+        #                  sorted streaming kernel
+        #                  (ops/pallas/sorted_adam.py): per-owner batched
+        #                  sorts + MXU one-hot block matmuls + full-table
+        #                  streaming — zero scatters, zero per-id scalar
+        #                  ops, NO parity deviation. The production-vocab
+        #                  throughput winner (PROFILE.md SS3).
         # Under a mesh each impl runs its pure-XLA formulation (SPMD cannot
         # partition a pallas_call over the row-sharded table).
-        assert sparse_update_impl in ("dense", "winner", "occurrence"), \
-            sparse_update_impl
+        assert sparse_update_impl in ("dense", "winner", "occurrence",
+                                      "sorted"), sparse_update_impl
         self._sparse_impl = sparse_update_impl
+        self._sorted_reorder = sorted_reorder
+        self._sorted_block_rows = int(sorted_block_rows)
         self.optimizer = optimizer_fn(**optimizer_params)
         self._base_lr = optimizer_params.get("lr", 1e-3)
         self._opt_params = dict(optimizer_params)
@@ -148,6 +160,18 @@ class CTRTrainer:
                 "base": self.optimizer.init(self._strip_packed(self.params)),
                 "emb": sparse_adam_occurrence_init(
                     self.params["embedding"]["packed"]),
+            }
+            self.params = self._strip_packed(self.params)
+        elif self._sparse_emb and self._sparse_impl == "sorted":
+            # sorted-kernel mode: authority = the PADDED table/moments in
+            # opt_state (ops/pallas/sorted_adam.py needs (nb+1)*block_rows
+            # rows; padding per step would cost O(V) copies). Like the
+            # combined store, params carry no packed leaf during training.
+            self.opt_state = {
+                "base": self.optimizer.init(self._strip_packed(self.params)),
+                "emb": sorted_dense_adam_init(
+                    self.params["embedding"]["packed"],
+                    block_rows=self._sorted_block_rows),
             }
             self.params = self._strip_packed(self.params)
         elif self._sparse_emb:
@@ -206,6 +230,13 @@ class CTRTrainer:
                         emb["comb"], NamedSharding(mesh, P("embed", None))),
                     "step": replicate(mesh, emb["step"]),
                 }
+            elif "table" in emb:  # sorted impl: padded authority table
+                emb_placed = {
+                    "table": jax.device_put(emb["table"], table_sh),
+                    "mu": jax.device_put(emb["mu"], table_sh),
+                    "nu": jax.device_put(emb["nu"], table_sh),
+                    "step": replicate(mesh, emb["step"]),
+                }
             else:
                 emb_placed = {
                     "mu": jax.device_put(emb["mu"], table_sh),
@@ -229,32 +260,45 @@ class CTRTrainer:
     def _comb_mode(self) -> bool:
         return self._sparse_emb and self._sparse_impl == "occurrence"
 
+    @property
+    def _sorted_mode(self) -> bool:
+        return self._sparse_emb and self._sparse_impl == "sorted"
+
     def _params_for_eval(self):
-        """Params with the packed table materialized (combined-store mode
-        keeps the live weights in ``opt_state["emb"]["comb"][:, :D]``)."""
-        if not self._comb_mode:
+        """Params with the packed table materialized (occurrence mode keeps
+        the live weights in ``opt_state["emb"]["comb"][:, :D]``; sorted
+        mode in the padded ``opt_state["emb"]["table"][:V]``)."""
+        if self._comb_mode:
+            d = self.model.embedding.packed_dim
+            packed = self.opt_state["emb"]["comb"][:, :d]
+        elif self._sorted_mode:
+            v = self.model.embedding.packed_vocab
+            packed = self.opt_state["emb"]["table"][:v]
+        else:
             return self.params
-        d = self.model.embedding.packed_dim
-        packed = self.opt_state["emb"]["comb"][:, :d]
         return {**self.params,
                 "embedding": {**self.params["embedding"], "packed": packed}}
 
     def _adopt_params(self, params):
         """Inverse of :meth:`_params_for_eval`: accept a full params tree
         (checkpoint load, early-stop best-weights restore) and route the
-        packed table back into the combined store in occurrence mode."""
-        if not self._comb_mode or "packed" not in params.get("embedding", {}):
+        packed table back into the authority store in occurrence/sorted
+        mode."""
+        if (not (self._comb_mode or self._sorted_mode)
+                or "packed" not in params.get("embedding", {})):
             self.params = params
             return
-        packed = params["embedding"]["packed"]
-        d = self.model.embedding.packed_dim
+        packed = jnp.asarray(params["embedding"]["packed"])
         emb = self.opt_state["emb"]
-        comb = jnp.asarray(emb["comb"])  # checkpoints load as numpy
-        self.opt_state = {
-            **self.opt_state,
-            "emb": {**emb,
-                    "comb": comb.at[:, :d].set(jnp.asarray(packed))},
-        }
+        if self._comb_mode:
+            d = self.model.embedding.packed_dim
+            comb = jnp.asarray(emb["comb"])  # checkpoints load as numpy
+            emb = {**emb, "comb": comb.at[:, :d].set(packed)}
+        else:
+            v = packed.shape[0]
+            table = jnp.asarray(emb["table"])
+            emb = {**emb, "table": table.at[:v].set(packed)}
+        self.opt_state = {**self.opt_state, "emb": emb}
         self.params = self._strip_packed(params)
 
     def _make_step_body(self, optimizer):
@@ -294,6 +338,10 @@ class CTRTrainer:
                 # the optimizer (mu/nu ride along in the same [K, 3·D])
                 r3 = opt_state["emb"]["comb"][ids]
                 rows = r3[:, :collection.packed_dim]
+            elif self._sparse_impl == "sorted":
+                # authority = padded table in opt_state (pad rows stay 0
+                # and ids never reach them)
+                rows = opt_state["emb"]["table"][ids]
             else:
                 packed = params["embedding"]["packed"]
                 rows = packed[ids]
@@ -317,6 +365,18 @@ class CTRTrainer:
                 emb_state = sparse_adam_occurrence_update(
                     opt_state["emb"], g_rows, ids,
                     collection.touched_owner_segments(x), r3,
+                    use_pallas=False if self.mesh is not None else None,
+                    **adam_kw,
+                )
+                return (rest, {"base": base_state, "emb": emb_state},
+                        new_state, loss)
+            if self._sparse_impl == "sorted":
+                emb_state = sorted_dense_adam_update(
+                    opt_state["emb"], g_rows, ids,
+                    collection.touched_owner_segments(x),
+                    collection.offsets,
+                    block_rows=self._sorted_block_rows,
+                    reorder=self._sorted_reorder,
                     use_pallas=False if self.mesh is not None else None,
                     **adam_kw,
                 )

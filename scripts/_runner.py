@@ -120,7 +120,7 @@ def standard_argparser(default_path: str):
                         help="rows-differentiated embedding updates (the "
                              "production-vocab path)")
     parser.add_argument("--sparse_update_impl", default="occurrence",
-                        choices=["dense", "winner", "occurrence"],
+                        choices=["dense", "winner", "occurrence", "sorted"],
                         help="embedding update formulation (see README)")
     parser.add_argument("--fused_inference", action="store_true",
                         help="Pallas fused eval kernels (PROFILE.md per-"

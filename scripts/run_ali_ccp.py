@@ -184,7 +184,7 @@ if __name__ == "__main__":
     parser.add_argument("--scan_steps", type=int, default=1)
     parser.add_argument("--sparse_embedding_updates", action="store_true")
     parser.add_argument("--sparse_update_impl", default="occurrence",
-                        choices=["dense", "winner", "occurrence"])
+                        choices=["dense", "winner", "occurrence", "sorted"])
     parser.add_argument("--fused_inference", action="store_true")
     parser.add_argument("--device_resident", action="store_true")
     args = parser.parse_args()

@@ -238,6 +238,42 @@ def test_trainer_occurrence_row_sharded_matches_single_device():
                                np.asarray(o1["emb"]["comb"]), atol=2e-5)
 
 
+def test_trainer_sorted_row_sharded_matches_single_device():
+    """The sorted (exact-dense) impl under a 4x2 mesh: padded authority
+    table + moments row-sharded over ``embed``, step equals single-device
+    (the mesh path runs the pure-XLA dense formulation)."""
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, x, y = _model_and_batch(batch=32)
+    w = jnp.ones((32,), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+
+    kw = dict(sparse_embedding_updates=True, sparse_update_impl="sorted",
+              sorted_block_rows=64, seed=3)
+    tr1 = CTRTrainer(model, **kw)
+    p1, o1, s1, loss1 = tr1._train_step(
+        tr1.params, tr1.opt_state, tr1.state, xb, jnp.asarray(y), w,
+        jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, mesh=mesh, **kw)
+    table = tr.opt_state["emb"]["table"]
+    assert max(sh.data.shape[0] for sh in table.addressable_shards) \
+        < table.shape[0], "sorted authority table not row-sharded"
+    assert max(sh.data.shape[0]
+               for sh in tr.opt_state["emb"]["mu"].addressable_shards) \
+        < table.shape[0], "sorted-mode moments not row-sharded"
+
+    xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
+    p8, o8, s8, loss8 = tr._train_step(
+        tr.params, tr.opt_state, tr.state, xs, ys, ws, jax.random.PRNGKey(0))
+    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
+    np.testing.assert_allclose(np.asarray(o8["emb"]["table"]),
+                               np.asarray(o1["emb"]["table"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o8["emb"]["mu"]),
+                               np.asarray(o1["emb"]["mu"]), atol=1e-6)
+
+
 def test_fit_on_mesh_e2e():
     """End-to-end CTRTrainer.fit() on an 8-device mesh with scan_steps>1:
     multi-batch training + val eval + early-stop bookkeeping all run under
