@@ -4,46 +4,43 @@ Flagship = MMOE with the Ali-CCP shape (23 sparse x 16-dim embeddings +
 8 dense, experts [256,128,64,32,16,8], 3 domains), batch 4096 — the
 reference's headline benchmark config (run_ali_ccp…py:140-141, batch
 4096 per :193). Measures the REAL CTRTrainer jitted train step (forward +
-BCE + backward + torch-Adam, buffers donated) on the available accelerator.
+BCE + backward + torch-Adam) on the available accelerator, at TWO shapes:
 
-Modes (env vars, default = full-parity f32 dense-Adam):
+1. the 20k-vocab flagship (the primary metric, comparable to the torch-CPU
+   baseline in BASELINE_MEASURED.json), and
+2. the PRODUCTION vocabulary (467k rows/feature -> packed [10.7M, 16] —
+   the reference's real Ali-CCP scale, run_ali_ccp…py:26) with the best
+   sparse embedding-update impl, reported as the ``prod_vocab`` sub-object
+   of the same JSON line so the headline can never be only the flattering
+   shape (VERDICT r3 #2).
+
+Modes (env vars, default = both shapes, full-parity f32):
   SWR_SPARSE_EMB=1  lazy row-sparse Adam on the packed embedding table
-                    (CTRTrainer(sparse_embedding_updates=True))
-  SWR_SPARSE_IMPL=M row-sparse Adam formulation: occurrence (default;
-                    equality-matmul dup segsum + Pallas DMA-ring row
-                    scatter — no serialized XLA scatter) | winner
-                    (winner-scatter dedup + XLA scatters)
+                    for the PRIMARY metric too
+  SWR_SPARSE_IMPL=M row-sparse Adam formulation for the primary metric:
+                    occurrence | winner | dense | sorted
+  SWR_PROD=0        skip the production-vocab measurement
+  SWR_PROD_VOCAB=N  production per-feature vocab (default 467000)
+  SWR_PROD_IMPL=M   impl for the production measurement (default sorted —
+                    the chunk-vectorized exact-dense streaming kernel,
+                    ops/pallas/sorted_adam.py)
   SWR_BF16=1        bf16 matmul inputs, f32 accumulation
-  SWR_VOCAB=N       per-feature vocab (default 20000)
+  SWR_VOCAB=N       primary per-feature vocab (default 20000)
   SWR_BATCH=N       batch size (default 4096)
   SWR_EMB_GRAD=M    embedding-grad mode: auto|onehot|scatter
-                    (core/config.set_embedding_grad_mode)
-  SWR_SCAN=S        S optimizer steps per dispatch via lax.scan (default 64;
-                    numerically identical to S single steps — amortizes the
-                    ~2ms per-dispatch boundary cost of the remote-TPU
-                    runtime; set SWR_SCAN=1 for the single-dispatch path)
-  SWR_TIME_BUDGET=T seconds of timed measurement (default 45): after compile
-                    a calibration dispatch picks the number of timed
-                    dispatches that fits T (floor 3), so the bench finishes
-                    inside the driver's timeout even on a slow session
-  SWR_E2E=1         measure the REAL input pipeline end to end (every batch
-                    distinct, full epoch semantics). Default: the
-                    device-resident pipeline (data/device.py) — columns
-                    uploaded once, per-batch row gathers on device inside
-                    the scanned step; host work is one permutation/epoch.
-                    NOTE: a distinct XLA program from the default mode (one
-                    extra compile on a cold cache).
-  SWR_E2E_HOST=1    with SWR_E2E=1: the host pipeline instead (BatchIterable
-                    -> prefetch thread -> [S, B] stacking), which reuses
-                    the default mode's exact XLA program.
-  SWR_E2E_DISPATCHES=K  scanned dispatches per epoch in E2E mode (default 4
-                    -> K*S*B rows in the epoch)
+  SWR_SCAN=S        S optimizer steps per dispatch via lax.scan (default 64)
+  SWR_TIME_BUDGET=T seconds of timed measurement per shape (default 45)
+  SWR_E2E=1         measure the REAL input pipeline end to end (device-
+                    resident epochs, data/device.py; SWR_E2E_HOST=1 for the
+                    host pipeline; SWR_E2E_DISPATCHES=K epoch size).
+                    Production-vocab is skipped in this mode.
   SWR_BENCH_DEADLINE=T  stall guard (default 1200 s): if the run hasn't
                     produced its measurement by T, a watchdog emits a
-                    partial-but-parseable JSON line (value 0,
-                    "partial": true, "stage": ...) so a driver timeout
-                    still finds valid output; the real line follows if
-                    the stall resolves. "compile_s" is always present.
+                    partial-but-parseable JSON line whose metric name
+                    carries a "_partial" suffix (so a first-line parser
+                    can never mistake it for the real measurement; a
+                    last-line parser sees the real line if the stall
+                    resolves). "compile_s" is always present.
 
 Timing uses a REAL device-to-host fetch as the barrier:
 ``jax.block_until_ready`` is a no-op on the axon remote-TPU platform
@@ -55,7 +52,10 @@ throughput for the identical model/batch on this host's CPU (the
 reference's only non-CUDA device path), stored in BASELINE_MEASURED.json
 by scripts/measure_torch_baseline.py.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+ "compile_s": ..., "prod_vocab": {"vocab": V, "impl": ..., "value": M,
+ "unit": ..., "compile_s": ...}}
 """
 
 import json
@@ -78,10 +78,11 @@ def _progress(msg: str) -> None:
 # even on a warm cache (CLAUDE.md). If the whole run exceeds
 # SWR_BENCH_DEADLINE seconds before the real measurement lands, a watchdog
 # thread emits a PARTIAL-but-parseable JSON line (value 0, "partial": true,
-# "stage": where it was stuck) so a driver that kills the process on timeout
-# still finds a valid line on stdout. If the run later completes, the real
-# line is printed too — a last-line parser sees the good number, and the
-# partial line documents the stall. tests/test_bench_contract.py pins this.
+# metric suffixed "_partial", "stage": where it was stuck) so a driver that
+# kills the process on timeout still finds a valid line on stdout. If the
+# run later completes, the real line is printed too — a last-line parser
+# sees the good number; a first-line parser sees a metric name that cannot
+# collide with the real one. tests/test_bench_contract.py pins this.
 # ---------------------------------------------------------------------------
 
 _stage = {"name": "init", "t0": time.perf_counter()}
@@ -92,10 +93,14 @@ def _set_stage(name: str) -> None:
     _stage["name"] = name
 
 
+def _metric_name():
+    return ("train_e2e_throughput_mmoe_aliccp_b4096" if E2E
+            else "train_throughput_mmoe_aliccp_b4096")
+
+
 def _partial_payload():
     return {
-        "metric": ("train_e2e_throughput_mmoe_aliccp_b4096" if E2E
-                   else "train_throughput_mmoe_aliccp_b4096"),
+        "metric": _metric_name() + "_partial",
         "value": 0.0,
         "unit": "examples/s/chip",
         "vs_baseline": None,
@@ -127,15 +132,112 @@ VOCAB = int(os.environ.get("SWR_VOCAB", 20_000))
 # ~5% low; compile is persistent-cached so the extra steps are cheap)
 STEPS = int(os.environ.get("SWR_STEPS", 1280))
 SPARSE = os.environ.get("SWR_SPARSE_EMB", "0") == "1"
-# row-sparse Adam formulation: winner (XLA scatters) | occurrence
-# (equality-matmul segsum + Pallas DMA-ring scatter — the big-vocab path)
 SPARSE_IMPL = os.environ.get("SWR_SPARSE_IMPL", "occurrence")
 BF16 = os.environ.get("SWR_BF16", "0") == "1"
 SCAN = int(os.environ.get("SWR_SCAN", 64))
 E2E = os.environ.get("SWR_E2E", "0") == "1"
+PROD = os.environ.get("SWR_PROD", "1") == "1" and not E2E
+PROD_VOCAB = int(os.environ.get("SWR_PROD_VOCAB", 467_000))
+PROD_IMPL = os.environ.get("SWR_PROD_IMPL", "sorted")
 
 
-def _bench_e2e(trainer, per_call, budget):
+def _make_batch(vocab):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = {f"s{i}": jnp.asarray(rng.integers(0, vocab, BATCH).astype(np.int32))
+         for i in range(N_SPARSE)}
+    x.update({f"d{i}": jnp.asarray(rng.normal(size=BATCH).astype(np.float32))
+              for i in range(N_DENSE)})
+    x["domain_indicator"] = jnp.asarray(
+        rng.integers(0, DOMAINS, BATCH).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
+    w = jnp.ones((BATCH,), jnp.float32)
+    return x, y, w
+
+
+def _make_trainer(vocab, sparse, impl):
+    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    sparse_feas = [SparseFeature(f"s{i}", vocab_size=vocab, embed_dim=16)
+                   for i in range(N_SPARSE)]
+    dense_feas = [DenseFeature(f"d{i}") for i in range(N_DENSE)]
+    model = MMOE(dense_feas + sparse_feas, DOMAINS, n_expert=DOMAINS,
+                 expert_params={"dims": [256, 128, 64, 32, 16, 8]},
+                 tower_params={"dims": [16]})
+    return CTRTrainer(model, sparse_embedding_updates=sparse,
+                      sparse_update_impl=impl, scan_steps=SCAN)
+
+
+def _measure_device_only(vocab, sparse, impl, stage_prefix=""):
+    """Compile + time the jitted train step at one shape.
+
+    Returns (examples_per_s, compile_s, trainer, per_call)."""
+    import jax
+    import jax.numpy as jnp
+
+    _set_stage(stage_prefix + "init_params")
+    _progress(f"{stage_prefix or 'primary '}init (vocab={vocab}, "
+              f"sparse={sparse}, impl={impl})")
+    trainer = _make_trainer(vocab, sparse, impl)
+    params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
+    x, y, w = _make_batch(vocab)
+
+    if SCAN > 1:
+        xs = {k: jnp.broadcast_to(v, (SCAN,) + v.shape) for k, v in x.items()}
+        ys = jnp.broadcast_to(y, (SCAN,) + y.shape)
+        ws = jnp.broadcast_to(w, (SCAN,) + w.shape)
+        raw = trainer._train_step_scan
+        step = lambda p, o, s, k: raw(p, o, s, xs, ys, ws, k)
+        n_calls = max(3, STEPS // SCAN)
+    else:
+        step = lambda p, o, s, k: trainer._train_step(p, o, s, x, y, w, k)
+        n_calls = STEPS
+
+    def sync(v):
+        # real barrier: block_until_ready is a no-op on the axon platform
+        return float(np.asarray(v).ravel()[-1])
+
+    key = jax.random.PRNGKey(1)
+    _set_stage(stage_prefix + "compiling")
+    _progress(f"compiling (backend={jax.default_backend()}, batch={BATCH}, "
+              f"vocab={vocab}, scan={SCAN}; cold remote compiles take "
+              "minutes, warm persistent cache seconds)")
+    t_c = time.perf_counter()
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        params, opt_state, state, loss = step(params, opt_state, state, k)
+    sync(loss)
+    compile_s = time.perf_counter() - t_c
+    _set_stage(stage_prefix + "measuring")
+    _progress(f"compiled+warm in {compile_s:.1f}s")
+
+    # calibrate: one synced dispatch picks how many timed calls fit the
+    # budget, so the bench finishes inside the driver's timeout even on a
+    # slow tunnel session (floor 3 dispatches for a stable mean)
+    t_c = time.perf_counter()
+    key, k = jax.random.split(key)
+    params, opt_state, state, loss = step(params, opt_state, state, k)
+    sync(loss)
+    per_call = time.perf_counter() - t_c
+    budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
+    n_calls = max(3, min(n_calls, int(budget / max(per_call, 1e-4))))
+    _progress(f"calibrated {per_call * 1e3:.1f} ms/dispatch -> "
+              f"{n_calls} timed dispatches")
+
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        key, k = jax.random.split(key)
+        params, opt_state, state, loss = step(params, opt_state, state, k)
+    sync(loss)
+    dt = time.perf_counter() - t0
+    eps = n_calls * (SCAN if SCAN > 1 else 1) * BATCH / dt
+    return eps, compile_s, trainer, per_call
+
+
+def _bench_e2e(trainer, budget):
     """Time CTRTrainer.train_one_epoch over a REAL epoch pipeline.
 
     Default: the device-resident pipeline (data/device.py) — columns
@@ -169,7 +271,6 @@ def _bench_e2e(trainer, per_call, budget):
     else:
         loader = DeviceResidentLoader(ds, BATCH, seed=7)
 
-    del per_call  # device dispatch time alone underestimates an e2e epoch
     # the epoch loop logs per-epoch loss to stdout; keep stdout reserved
     # for the ONE JSON line (train_one_epoch's own end-of-epoch loss fetch
     # is the host-sync barrier, same as a real fit() epoch)
@@ -188,12 +289,9 @@ def _bench_e2e(trainer, per_call, budget):
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
-    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature, config
-    from scenario_wise_rec_tpu.models import MMOE
-    from scenario_wise_rec_tpu.train import CTRTrainer
+    from scenario_wise_rec_tpu.core import config
 
     if BF16:
         config.set_compute_dtype(jnp.bfloat16)
@@ -201,92 +299,30 @@ def main():
     if emb_grad:
         config.set_embedding_grad_mode(emb_grad)
 
-    sparse = [SparseFeature(f"s{i}", vocab_size=VOCAB, embed_dim=16)
-              for i in range(N_SPARSE)]
-    dense = [DenseFeature(f"d{i}") for i in range(N_DENSE)]
-    model = MMOE(dense + sparse, DOMAINS, n_expert=DOMAINS,
-                 expert_params={"dims": [256, 128, 64, 32, 16, 8]},
-                 tower_params={"dims": [16]})
-
-    rng = np.random.default_rng(0)
-    x = {f"s{i}": jnp.asarray(rng.integers(0, VOCAB, BATCH).astype(np.int32))
-         for i in range(N_SPARSE)}
-    x.update({f"d{i}": jnp.asarray(rng.normal(size=BATCH).astype(np.float32))
-              for i in range(N_DENSE)})
-    x["domain_indicator"] = jnp.asarray(
-        rng.integers(0, DOMAINS, BATCH).astype(np.int32))
-    y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
-    w = jnp.ones((BATCH,), jnp.float32)
-
     timer = _start_watchdog()
     test_stall = float(os.environ.get("SWR_TEST_STALL_S", 0))
     if test_stall:  # simulated remote-compile stall (contract test hook)
         _set_stage("compiling")
         time.sleep(test_stall)
-    _set_stage("init_params")
-    _progress("initializing params (jitted model.init)")
-    trainer = CTRTrainer(model, sparse_embedding_updates=SPARSE,
-                         sparse_update_impl=SPARSE_IMPL, scan_steps=SCAN)
-    params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
 
-    if SCAN > 1:
-        xs = {k: jnp.broadcast_to(v, (SCAN,) + v.shape) for k, v in x.items()}
-        ys = jnp.broadcast_to(y, (SCAN,) + y.shape)
-        ws = jnp.broadcast_to(w, (SCAN,) + w.shape)
-        raw = trainer._train_step_scan
-        step = lambda p, o, s, _x, _y, _w, k: raw(p, o, s, xs, ys, ws, k)
-        n_calls = max(3, STEPS // SCAN)
-    else:
-        step = trainer._train_step
-        n_calls = STEPS
-
-    def sync(v):
-        # real barrier: block_until_ready is a no-op on the axon platform
-        return float(np.asarray(v).ravel()[-1])
-
-    key = jax.random.PRNGKey(1)
-    _set_stage("compiling")
-    _progress(f"compiling train step (backend={jax.default_backend()}, "
-              f"batch={BATCH}, vocab={VOCAB}, scan={SCAN}; a cold remote "
-              "compile takes minutes, warm persistent cache seconds)")
-    t_c = time.perf_counter()
-    # warmup (compile), synced
-    for _ in range(3):
-        key, k = jax.random.split(key)
-        params, opt_state, state, loss = step(params, opt_state, state,
-                                              x, y, w, k)
-    sync(loss)
-    compile_s = time.perf_counter() - t_c
-    _set_stage("measuring")
-    _progress(f"compiled+warm in {compile_s:.1f}s")
-
-    # calibrate: one synced dispatch picks how many timed calls fit the time
-    # budget, so the bench finishes inside the driver's timeout even on a
-    # slow tunnel session (floor 3 dispatches for a stable mean)
-    t_c = time.perf_counter()
-    key, k = jax.random.split(key)
-    params, opt_state, state, loss = step(params, opt_state, state, x, y, w, k)
-    sync(loss)
-    per_call = time.perf_counter() - t_c
-    budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
-    n_calls = max(3, min(n_calls, int(budget / max(per_call, 1e-4))))
-    _progress(f"calibrated {per_call * 1e3:.1f} ms/dispatch -> "
-              f"{n_calls} timed dispatches")
-
+    eps, compile_s, trainer, per_call = _measure_device_only(
+        VOCAB, SPARSE, SPARSE_IMPL)
     if E2E:
-        n_examples, dt = _bench_e2e(trainer, per_call, budget)
-        examples_per_s = n_examples / dt
-        metric = "train_e2e_throughput_mmoe_aliccp_b4096"
-    else:
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            key, k = jax.random.split(key)
-            params, opt_state, state, loss = step(params, opt_state, state,
-                                                  x, y, w, k)
-        sync(loss)
-        dt = time.perf_counter() - t0
-        examples_per_s = n_calls * (SCAN if SCAN > 1 else 1) * BATCH / dt
-        metric = "train_throughput_mmoe_aliccp_b4096"
+        budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
+        n_examples, dt = _bench_e2e(trainer, budget)
+        eps = n_examples / dt
+
+    prod = None
+    if PROD:
+        prod_eps, prod_compile_s, _, _ = _measure_device_only(
+            PROD_VOCAB, True, PROD_IMPL, stage_prefix="prod_")
+        prod = {
+            "vocab": PROD_VOCAB,
+            "impl": PROD_IMPL,
+            "value": round(prod_eps, 1),
+            "unit": "examples/s/chip",
+            "compile_s": round(prod_compile_s, 1),
+        }
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -296,17 +332,20 @@ def main():
             ref = json.load(f)
         ref_eps = ref.get("torch_mmoe_examples_per_s")
         if ref_eps:
-            vs = examples_per_s / ref_eps
+            vs = eps / ref_eps
 
     timer.cancel()
+    payload = {
+        "metric": _metric_name(),
+        "value": round(eps, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "compile_s": round(compile_s, 1),
+    }
+    if prod is not None:
+        payload["prod_vocab"] = prod
     with _emit_lock:
-        print(json.dumps({
-            "metric": metric,
-            "value": round(examples_per_s, 1),
-            "unit": "examples/s/chip",
-            "vs_baseline": round(vs, 2) if vs else None,
-            "compile_s": round(compile_s, 1),
-        }))
+        print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -92,7 +92,12 @@ def kaiming_uniform_torch(a: float = 0.0):
 def pretrained(weight, freeze: bool = True):
     """Initializer returning a fixed pretrained table.
 
-    ``freeze`` is honored by the trainer via a zero-lr mask; reference:
+    ``freeze=True`` is honored by CTRTrainer in EVERY update mode
+    (train/freeze.py): the dense optax chain's final updates are masked
+    on the frozen rows, and the row-sparse/streaming embedding updates
+    drop frozen ids from their write-backs — the table stays bit-identical
+    through ``fit()`` (tests/test_freeze.py). Reference:
+    ``nn.Embedding.from_pretrained(..., freeze=True)``,
     basic/initializers.py:76-92.
     """
     weight = jnp.asarray(weight, dtype=jnp.float32)

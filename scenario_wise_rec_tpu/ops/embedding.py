@@ -207,6 +207,19 @@ class EmbeddingCollection:
         self.partition: Tuple[Tuple[int, int], ...] = tuple(
             (self.offsets[n], owned[n].vocab_size) for n in self.packed_names
         )
+        # frozen pretrained tables (initializer carries freeze=True,
+        # core/init.py:pretrained; reference basic/initializers.py:76-92):
+        # packed spans + loose table names — consumed by the trainer's
+        # freeze machinery (train/freeze.py)
+        self.frozen_spans: Tuple[Tuple[int, int], ...] = tuple(
+            (self.offsets[n], owned[n].vocab_size)
+            for n in self.packed_names
+            if getattr(owned[n].initializer, "freeze", False)
+        )
+        self.frozen_loose: Tuple[str, ...] = tuple(
+            n for n in self.loose_names
+            if getattr(owned[n].initializer, "freeze", False)
+        )
 
     # -- params -----------------------------------------------------------
 

@@ -58,15 +58,20 @@ def place_opt_state(mesh: Mesh, opt_state, params):
             tree, specs,
         )
 
-    # Leaves with a param's shape that we would be silently replicating is
-    # exactly the bug this guard exists for: a future optax transform whose
-    # param-mirroring state is NOT named mu/nu (e.g. a momentum trace) would
-    # replicate a [V_total, D]-sized buffer per device.
-    param_shapes = {
-        getattr(l, "shape", None)
-        for l in jax.tree_util.tree_leaves(params)
-        if getattr(l, "ndim", 0) == 2
-    }
+    # Leaves with a SHARDED param's shape (the packed/loose embedding
+    # tables — the only leaves param_specs row-shards) that we would be
+    # silently replicating is exactly the bug this guard exists for: a
+    # future optax transform whose param-mirroring state is NOT named
+    # mu/nu (e.g. a momentum trace) would replicate a [V_total, D]-sized
+    # buffer per device. Restricted to the sharded shapes on purpose: a
+    # momentum trace mirroring a REPLICATED param is correctly replicated
+    # and must not trip the guard (ADVICE r3).
+    param_shapes = set()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if getattr(leaf, "ndim", 0) == 2 and (
+                "packed" in keys or "tables" in keys):
+            param_shapes.add(leaf.shape)
 
     def place_item(item):
         if hasattr(item, "mu") and hasattr(item, "nu") and hasattr(item, "_replace"):

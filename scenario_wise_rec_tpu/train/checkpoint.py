@@ -36,6 +36,17 @@ def save(path: str, tree, metadata: Dict[str, Any] | None = None) -> None:
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
 
 
+def read_metadata(path: str) -> Dict[str, Any]:
+    """Read only the JSON metadata (cheap: npz members load lazily) —
+    lets callers validate compatibility BEFORE shape-matching the tree."""
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    with np.load(path) as data:
+        if "__metadata__" not in data:
+            return {}
+        return json.loads(bytes(data["__metadata__"]).decode())
+
+
 def load(path: str, example_tree):
     """Restore ``(tree, metadata)``; shapes validated against example_tree."""
     if not path.endswith(".npz") and not os.path.exists(path):

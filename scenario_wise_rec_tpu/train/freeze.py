@@ -1,0 +1,93 @@
+"""Frozen-pretrained-embedding support (reference Pretrained(freeze=True)).
+
+The reference freezes via ``nn.Embedding.from_pretrained(..., freeze=True)``
+(basic/initializers.py:76-92): the weight gets ``requires_grad=False``, its
+``.grad`` stays ``None``, and ``torch.optim.Adam`` skips None-grad params
+entirely — no update, no weight decay, no moment state.
+
+Our equivalent per training mode (CTRTrainer wires all of these):
+
+- dense optax mode: :func:`freeze_updates` wraps the optimizer chain and
+  zeroes the final updates on frozen packed-table rows and frozen loose
+  tables, so the frozen weights are bit-identical after any number of
+  steps (weight decay included — it enters the chain as part of the
+  update).
+- lazy row-sparse modes (winner/occurrence): frozen ids are dropped from
+  the row write-back (and their moment rows left untouched), matching
+  torch's skip-the-param behavior.
+- dense-semantics sparse modes (dense/sorted): the updated table/moments
+  are blended back to their old values on frozen rows after the update
+  (one O(V) select, only traced when frozen spans exist).
+
+Which rows are frozen is STATIC (a property of the feature list): every
+owned feature whose initializer carries ``freeze=True``
+(core/init.py:pretrained) contributes its packed span or loose table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import optax
+
+
+def frozen_ids_mask(ids: jnp.ndarray,
+                    spans: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """Bool mask over packed row ``ids``: True where the id is frozen."""
+    m = jnp.zeros(ids.shape, bool)
+    for off, vc in spans:
+        m = m | ((ids >= off) & (ids < off + vc))
+    return m
+
+
+def frozen_rows_mask(v: int, spans: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """Bool column ``[v, 1]``: True on frozen packed-table rows."""
+    row = jnp.arange(v, dtype=jnp.int32)[:, None]
+    return frozen_ids_mask(row, spans)
+
+
+def blend_frozen_rows(old, new, spans):
+    """``new`` with frozen rows restored from ``old`` (no-op if no spans)."""
+    if not spans:
+        return new
+    return jnp.where(frozen_rows_mask(new.shape[0], spans), old, new)
+
+
+def freeze_updates(inner: optax.GradientTransformation,
+                   spans: Sequence[Tuple[int, int]],
+                   loose_names: Sequence[str]) -> optax.GradientTransformation:
+    """Wrap ``inner`` so frozen embedding weights receive ZERO update.
+
+    Masks the chain's final updates (not the gradients): torch-Adam folds
+    weight decay into the update path, so a gradient-only mask would still
+    decay frozen rows. ``spans``: frozen (offset, vocab) ranges of the
+    packed mega-table; ``loose_names``: frozen odd-dim tables under
+    ``params["embedding"]["tables"]``.
+    """
+    spans = tuple(spans)
+    loose_names = tuple(loose_names)
+    if not spans and not loose_names:
+        return inner
+
+    def init(params):
+        return inner.init(params)
+
+    def update(updates, state, params=None):
+        updates, state = inner.update(updates, state, params)
+        emb = updates.get("embedding") if isinstance(updates, dict) else None
+        if emb is not None:
+            emb = dict(emb)
+            if spans and "packed" in emb:
+                keep = ~frozen_rows_mask(emb["packed"].shape[0], spans)
+                emb["packed"] = emb["packed"] * keep
+            if loose_names and "tables" in emb:
+                tables = dict(emb["tables"])
+                for n in loose_names:
+                    if n in tables:
+                        tables[n] = jnp.zeros_like(tables[n])
+                emb["tables"] = tables
+            updates = {**updates, "embedding": emb}
+        return updates, state
+
+    return optax.GradientTransformation(init, update)

@@ -82,7 +82,7 @@ def sparse_adam_rows_update(table, opt_state, g_dense, ids,
 def sparse_adam_rowgrads_update(table, opt_state, g_rows, ids,
                                 lr: float = 1e-3, weight_decay: float = 1e-5,
                                 b1: float = 0.9, b2: float = 0.999,
-                                eps: float = 1e-8):
+                                eps: float = 1e-8, frozen_spans=()):
     """Lazy Adam from PER-OCCURRENCE row gradients — no dense grad at all.
 
     ``ids [K]`` (duplicates allowed) and ``g_rows [K, D]`` are the packed-row
@@ -107,6 +107,11 @@ def sparse_adam_rowgrads_update(table, opt_state, g_rows, ids,
     g_slot = jnp.zeros_like(g_rows).at[rep].add(g_rows)  # summed dup grads
     is_rep = rep == occ
     uid = jnp.where(is_rep, ids, vocab)     # non-winner slots -> dropped
+    if frozen_spans:
+        # frozen pretrained rows: drop from the write-back (weights AND
+        # moments untouched — torch skips None-grad params entirely)
+        from .freeze import frozen_ids_mask
+        uid = jnp.where(frozen_ids_mask(uid, frozen_spans), vocab, uid)
     return _rows_adam_core(table, opt_state, g_slot,
                            jnp.clip(uid, 0, vocab - 1), uid,
                            lr, weight_decay, b1, b2, eps)
@@ -221,7 +226,8 @@ def sparse_adam_occurrence_update(opt_state, g_rows, ids, segments, r3,
                                   lr: float = 1e-3, weight_decay: float = 1e-5,
                                   b1: float = 0.9, b2: float = 0.999,
                                   eps: float = 1e-8,
-                                  use_pallas: bool | None = None):
+                                  use_pallas: bool | None = None,
+                                  frozen_spans=()):
     """Lazy row-sparse Adam on the combined row store — exactly TWO indexed
     HBM ops per step (the production-vocab path, see
     :func:`sparse_adam_occurrence_init` and ops/pallas/row_update.py).
@@ -269,6 +275,11 @@ def sparse_adam_occurrence_update(opt_state, g_rows, ids, segments, r3,
     bc2 = 1.0 - b2 ** t.astype(jnp.float32)
     update = lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
     new3 = jnp.concatenate([p - update, mu, nu], axis=1)  # [K, 3·D]
+    if frozen_spans:
+        # frozen pretrained rows write back their OLD row (weights+moments)
+        from .freeze import frozen_ids_mask
+        new3 = jnp.where(frozen_ids_mask(ids, frozen_spans)[:, None],
+                         r3, new3)
     new_comb = scatter_rows(comb, ids, new3, force_xla=True)
     return {"comb": new_comb, "step": t}
 
@@ -278,7 +289,8 @@ def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
                             b1: float = 0.9, b2: float = 0.999,
                             eps: float = 1e-8,
                             block_rows: int = 8192,
-                            use_pallas: bool | None = None):
+                            use_pallas: bool | None = None,
+                            frozen_spans=()):
     """EXACT dense torch-Adam on the packed table with ZERO scatters on TPU
     (ops/pallas/fused_adam.py — the production-vocab update).
 
@@ -319,12 +331,22 @@ def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
         1.0 / (1.0 - jnp.float32(b2) ** tf),
         jnp.float32(eps),
     ])
+    def _blend(new_table, new_mu, new_nu):
+        # frozen pretrained rows keep old weights AND moments (torch skips
+        # requires_grad=False params entirely — no update, no decay)
+        if frozen_spans:
+            from .freeze import blend_frozen_rows
+            new_table = blend_frozen_rows(table, new_table, frozen_spans)
+            new_mu = blend_frozen_rows(opt_state["mu"], new_mu, frozen_spans)
+            new_nu = blend_frozen_rows(opt_state["nu"], new_nu, frozen_spans)
+        return new_table, {"mu": new_mu, "nu": new_nu, "step": t}
+
     if use_pallas is None:
         use_pallas = False
     if not use_pallas:
         new_table, new_mu, new_nu = fused_dense_adam_ref(
             table, opt_state["mu"], opt_state["nu"], g_rows, ids, hp)
-        return new_table, {"mu": new_mu, "nu": new_nu, "step": t}
+        return _blend(new_table, new_mu, new_nu)
 
     v = table.shape[0]
     vpad = ((v + block_rows - 1) // block_rows) * block_rows
@@ -363,7 +385,7 @@ def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
         table, opt_state["mu"], opt_state["nu"], g_rows,
         sorted_ids, sorted_pos, starts, hp, block_rows=block_rows,
         interpret=jax.default_backend() != "tpu")
-    return new_table, {"mu": new_mu, "nu": new_nu, "step": t}
+    return _blend(new_table, new_mu, new_nu)
 
 
 def sorted_dense_adam_init(table, block_rows: int = 8192):
@@ -397,7 +419,8 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
                              eps: float = 1e-8,
                              block_rows: int = 8192,
                              reorder: str = "gather",
-                             use_pallas: bool | None = None):
+                             use_pallas: bool | None = None,
+                             frozen_spans=()):
     """EXACT dense torch-Adam via the chunk-vectorized sorted streaming
     kernel (ops/pallas/sorted_adam.py) — zero scatters, zero per-id scalar
     ops; the production-vocab update that breaks the ~330k ex/s
@@ -434,18 +457,24 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
         1.0 / (1.0 - jnp.float32(b2) ** tf),
         jnp.float32(eps),
     ])
+    def _out(nt, nm, nn):
+        if frozen_spans:
+            from .freeze import blend_frozen_rows
+            nt = blend_frozen_rows(table, nt, frozen_spans)
+            nm = blend_frozen_rows(mu, nm, frozen_spans)
+            nn = blend_frozen_rows(nu, nn, frozen_spans)
+        return {"table": nt, "mu": nm, "nu": nn, "step": t}
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     d = table.shape[1]
     if not use_pallas or 128 % d != 0 or ids.shape[0] == 0:
-        nt, nm, nn = fused_dense_adam_ref(table, mu, nu, g_rows, ids, hp)
-        return {"table": nt, "mu": nm, "nu": nn, "step": t}
+        return _out(*fused_dense_adam_ref(table, mu, nu, g_rows, ids, hp))
     sorted_ids, g_sorted = owner_sorted_grads(ids, g_rows, segments,
                                               offsets, reorder=reorder)
-    nt, nm, nn = sorted_dense_adam_apply(
+    return _out(*sorted_dense_adam_apply(
         table, mu, nu, sorted_ids, g_sorted, hp, block_rows=block_rows,
-        interpret=jax.default_backend() != "tpu")
-    return {"table": nt, "mu": nm, "nu": nn, "step": t}
+        interpret=jax.default_backend() != "tpu"))
 
 
 def step_lr(step_size: int, gamma: float):

@@ -136,7 +136,14 @@ class CTRTrainer:
         self._sparse_impl = sparse_update_impl
         self._sorted_reorder = sorted_reorder
         self._sorted_block_rows = int(sorted_block_rows)
-        self.optimizer = optimizer_fn(**optimizer_params)
+        # frozen pretrained tables (Pretrained(freeze=True), reference
+        # basic/initializers.py:76-92): static packed spans + loose names
+        # from the feature list; every update path masks them
+        # (train/freeze.py)
+        emb_col = getattr(model, "embedding", None)
+        self._frozen_spans = tuple(getattr(emb_col, "frozen_spans", ()) or ())
+        self._frozen_loose = tuple(getattr(emb_col, "frozen_loose", ()) or ())
+        self.optimizer = self._wrap_frozen(optimizer_fn(**optimizer_params))
         self._base_lr = optimizer_params.get("lr", 1e-3)
         self._opt_params = dict(optimizer_params)
         self._opt_fn = optimizer_fn
@@ -250,6 +257,13 @@ class CTRTrainer:
 
     # ------------------------------------------------------------------
 
+    def _wrap_frozen(self, opt):
+        """Mask frozen pretrained embeddings out of an optax chain's
+        updates (no-op when the feature list has no frozen tables)."""
+        from .freeze import freeze_updates
+
+        return freeze_updates(opt, self._frozen_spans, self._frozen_loose)
+
     @staticmethod
     def _strip_packed(params):
         """Params tree without the packed embedding leaf (sparse mode)."""
@@ -314,6 +328,7 @@ class CTRTrainer:
                 b1=self._opt_params.get("b1", 0.9),
                 b2=self._opt_params.get("b2", 0.999),
                 eps=self._opt_params.get("eps", 1e-8),
+                frozen_spans=self._frozen_spans,
             )
 
         def step(params, opt_state, state, x, y, w, rng):
@@ -580,9 +595,21 @@ class CTRTrainer:
 
         int_mat, float_mat = loader.int_mat, loader.float_mat
         if self.mesh is not None:
-            repl = NamedSharding(self.mesh, P())
-            int_mat = jax.device_put(int_mat, repl)
-            float_mat = jax.device_put(float_mat, repl)
+            # replicate ONCE per (loader, mesh): these arrays never change,
+            # and re-placing them every epoch is an O(N-rows) transfer
+            # (ADVICE r3). Strong refs + identity compare, like
+            # _resident_scan_fn.
+            cache = getattr(self, "_resident_repl", None)
+            if (cache is None or cache[0] is not loader
+                    or cache[1] is not self.mesh):
+                repl = NamedSharding(self.mesh, P())
+                self._resident_repl = (
+                    loader, self.mesh,
+                    jax.device_put(int_mat, repl),
+                    jax.device_put(float_mat, repl),
+                )
+            int_mat, float_mat = (self._resident_repl[2],
+                                  self._resident_repl[3])
         pending, done = [], 0
         n_rows = n_disp * s * b
         if n_disp:
@@ -667,7 +694,7 @@ class CTRTrainer:
                 scale = self._epoch_schedule(epoch_i)
                 p = dict(self._opt_params)
                 p["lr"] = self._base_lr * float(scale)
-                self.optimizer = self._opt_fn(**p)
+                self.optimizer = self._wrap_frozen(self._opt_fn(**p))
                 self._lr_now = p["lr"]
                 self._train_step = self._build_train_step(self.optimizer)
                 if self.scan_steps > 1:
@@ -744,26 +771,75 @@ class CTRTrainer:
 
     # ------------------------------------------------------------------
 
+    def _opt_state_for_save(self):
+        """Opt state with the authority weights DEDUPLICATED out: the saved
+        params tree already carries the materialized packed table
+        (_params_for_eval), so occurrence mode stores only the moment
+        columns of comb and sorted mode drops its padded table entirely
+        (~25-33% smaller checkpoints at production vocab; ADVICE r3).
+        ``load`` reconstructs both from the params tree."""
+        if self._comb_mode:
+            d = self.model.embedding.packed_dim
+            emb = self.opt_state["emb"]
+            return {**self.opt_state,
+                    "emb": {**emb, "comb": emb["comb"][:, d:]}}
+        if self._sorted_mode:
+            emb = {k: v for k, v in self.opt_state["emb"].items()
+                   if k != "table"}
+            return {**self.opt_state, "emb": emb}
+        return self.opt_state
+
     def save(self, path: str):
         ckpt_lib.save(
             path,
             {"params": self._params_for_eval(), "state": self.state,
-             "opt_state": self.opt_state},
+             "opt_state": self._opt_state_for_save()},
             metadata={
                 "epoch": self.epoch_i,
                 "best_auc": self.early_stopper.best_auc,
                 "model": type(self.model).__name__,
+                "sparse_embedding_updates": bool(self._sparse_emb),
+                "sparse_update_impl": (self._sparse_impl if self._sparse_emb
+                                       else None),
             },
         )
 
     def load(self, path: str):
+        meta_pre = ckpt_lib.read_metadata(path)
+        if "sparse_update_impl" in meta_pre:
+            saved_impl = meta_pre["sparse_update_impl"]
+            mine = self._sparse_impl if self._sparse_emb else None
+            if saved_impl != mine:
+                raise ValueError(
+                    f"checkpoint was written with sparse_update_impl="
+                    f"{saved_impl!r} but this trainer uses {mine!r}; "
+                    "construct CTRTrainer with the matching "
+                    "sparse_embedding_updates/sparse_update_impl to resume"
+                )
         tree, meta = ckpt_lib.load(
             path,
             {"params": self._params_for_eval(), "state": self.state,
-             "opt_state": self.opt_state},
+             "opt_state": self._opt_state_for_save()},
         )
         self.state = tree["state"]
-        self.opt_state = tree["opt_state"]
+        loaded_opt = tree["opt_state"]
+        if self._comb_mode:
+            # rebuild comb = [packed weights | saved moments]; the weight
+            # columns are re-filled from params by _adopt_params below
+            d = self.model.embedding.packed_dim
+            emb = loaded_opt["emb"]
+            v = emb["comb"].shape[0]
+            comb = jnp.concatenate(
+                [jnp.zeros((v, d), jnp.float32), jnp.asarray(emb["comb"])],
+                axis=1)
+            loaded_opt = {**loaded_opt, "emb": {**emb, "comb": comb}}
+        elif self._sorted_mode:
+            # rebuild the padded authority table; rows re-filled from
+            # params by _adopt_params below (pad rows stay zero)
+            emb = dict(loaded_opt["emb"])
+            emb["table"] = jnp.zeros_like(self.opt_state["emb"]["table"])
+            loaded_opt = {**loaded_opt, "emb": emb}
+        self.opt_state = loaded_opt
         self._adopt_params(tree["params"])
         self.epoch_i = int(meta.get("epoch", 0))
         self.early_stopper.best_auc = float(meta.get("best_auc", 0.0))

@@ -23,6 +23,7 @@ def test_bench_emits_partial_line_on_stall_then_real_line():
         "SWR_VOCAB": "100", "SWR_TIME_BUDGET": "2",
         # stall 3 s in the "compiling" stage; deadline fires at 1 s
         "SWR_TEST_STALL_S": "3", "SWR_BENCH_DEADLINE": "1",
+        "SWR_PROD": "0",
     })
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
@@ -37,7 +38,11 @@ def test_bench_emits_partial_line_on_stall_then_real_line():
     assert partial["partial"] is True
     assert partial["stage"] == "compiling"
     assert partial["value"] == 0.0
+    # the partial line's metric name can never collide with the real one,
+    # so a first-line parser cannot record 0.0 as the measurement (ADVICE r3)
+    assert partial["metric"].endswith("_partial")
     assert real.get("partial") is None
+    assert real["metric"] + "_partial" == partial["metric"]
     assert real["value"] > 0
     assert "compile_s" in real
     assert real["unit"] == "examples/s/chip"
@@ -49,6 +54,10 @@ def test_bench_normal_run_emits_single_line():
     env.update({
         "SWR_BATCH": "32", "SWR_SCAN": "2", "SWR_STEPS": "4",
         "SWR_VOCAB": "100", "SWR_TIME_BUDGET": "2",
+        # tiny "production" shape so the second measurement runs on CPU;
+        # the real default is 467k (VERDICT r3 #2: both shapes must reach
+        # the driver's BENCH artifact in ONE line)
+        "SWR_PROD_VOCAB": "300",
     })
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
@@ -60,3 +69,6 @@ def test_bench_normal_run_emits_single_line():
     lines = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, out.stdout
     assert lines[0]["value"] > 0 and "compile_s" in lines[0]
+    prod = lines[0]["prod_vocab"]
+    assert prod["vocab"] == 300 and prod["impl"] == "sorted"
+    assert prod["value"] > 0 and "compile_s" in prod
