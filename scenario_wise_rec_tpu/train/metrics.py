@@ -31,15 +31,14 @@ def auc_score(y_true, y_score) -> float:
     order = np.argsort(y_score, kind="mergesort")
     ranks = np.empty(len(y_score), dtype=np.float64)
     sorted_scores = y_score[order]
-    # average rank within tie groups
-    i = 0
-    n = len(y_score)
-    while i < n:
-        j = i
-        while j + 1 < n and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
-        i = j + 1
+    # average rank within tie groups, vectorized: np.unique on the sorted
+    # scores yields group ids + sizes in one pass (the former Python
+    # while-loop was O(#tie-groups) and crawled on large quantized evals)
+    _, inv, counts = np.unique(sorted_scores, return_inverse=True,
+                               return_counts=True)
+    firsts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    avg_rank = firsts + (counts - 1) / 2.0 + 1.0
+    ranks[order] = avg_rank[inv]
     pos_rank_sum = float(np.sum(ranks[y_true == 1]))
     return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
 
@@ -51,17 +50,27 @@ def log_loss_score(y_true, y_pred, eps: float = 1e-15) -> float:
     return float(-np.mean(y_true * np.log(p) + (1 - y_true) * np.log(1 - p)))
 
 
-def auc_score_device(y_true, y_score):
+def auc_score_device(y_true, y_score, mask=None):
     """On-device AUC (jnp): average-rank formulation, O(n log n) sort.
 
     Use for large eval sets to avoid host transfers; matches
-    :func:`auc_score` to float32 precision.
+    :func:`auc_score` to float32 precision. Optional bool/float ``mask``
+    restricts the AUC to a subset (e.g. one domain) with STATIC shapes:
+    masked-out entries are pushed below every real score, so subset ranks
+    are global ranks minus the masked count (probabilities live in (0, 1),
+    strictly above the sentinel; entries with score exactly 0 would tie
+    with it — callers pass probabilities, where sklearn would see the same
+    degenerate tie).
     """
     import jax.numpy as jnp
 
     y_true = y_true.astype(jnp.float32).ravel()
     y_score = y_score.astype(jnp.float32).ravel()
     n = y_score.shape[0]
+    if mask is not None:
+        m = mask.astype(jnp.float32).ravel()
+        n_masked = n - jnp.sum(m)
+        y_score = jnp.where(m > 0, y_score, -1.0)
     order = jnp.argsort(y_score, stable=True)
     s = y_score[order]
     # rank of each sorted element with tie-averaging: for each element, the
@@ -74,10 +83,37 @@ def auc_score_device(y_true, y_score):
     avg_rank_sorted = 0.5 * (first[group_id] + last[group_id]) + 1.0
     ranks = jnp.zeros(n, jnp.float32).at[order].set(avg_rank_sorted)
     yt = y_true
-    n_pos = jnp.sum(yt)
-    n_neg = n - n_pos
-    pos_rank_sum = jnp.sum(ranks * yt)
+    if mask is None:
+        n_pos = jnp.sum(yt)
+        n_neg = n - n_pos
+        pos_rank_sum = jnp.sum(ranks * yt)
+    else:
+        ranks = ranks - n_masked          # subset-local ranks
+        n_pos = jnp.sum(yt * m)
+        n_neg = jnp.sum(m) - n_pos
+        pos_rank_sum = jnp.sum(ranks * yt * m)
     return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def log_loss_device(y_true, y_pred, mask=None, eps: float = 1e-7):
+    """On-device binary log loss; optional subset ``mask`` (static shapes,
+    mean over the subset).
+
+    Clips probabilities at 1e-7 instead of sklearn's 1e-15: in float32
+    ``1 - 1e-15 == 1.0`` so the sklearn constant would produce ``log(0)``
+    on saturated probabilities. Matches :func:`log_loss_score` exactly for
+    probs in [1e-7, 1 - 1e-7]; EXACTLY-saturated f32 probs score 16.1
+    per entry instead of the host's 34.5 (both are arbitrary clip
+    artifacts)."""
+    import jax.numpy as jnp
+
+    y_true = y_true.astype(jnp.float32).ravel()
+    p = jnp.clip(y_pred.astype(jnp.float32).ravel(), eps, 1 - eps)
+    ll = -(y_true * jnp.log(p) + (1 - y_true) * jnp.log(1 - p))
+    if mask is None:
+        return jnp.mean(ll)
+    m = mask.astype(jnp.float32).ravel()
+    return jnp.sum(jnp.where(m > 0, ll, 0.0)) / jnp.sum(m)
 
 
 def topk_metrics(y_true, y_pred, topKs=(5,)):

@@ -36,7 +36,8 @@ from ..data.device import DeviceResidentLoader
 from ..data.prefetch import prefetch
 from .callback import EarlyStopper
 from .loss import bce_loss
-from .metrics import auc_score, log_loss_score
+from .metrics import (auc_score, auc_score_device, log_loss_device,
+                      log_loss_score)
 from .optim import (adam, fused_dense_adam_update, sorted_dense_adam_init,
                     sorted_dense_adam_update, sparse_adam_init,
                     sparse_adam_occurrence_init, sparse_adam_occurrence_update,
@@ -740,17 +741,73 @@ class CTRTrainer:
         cat = lambda lst: np.concatenate(lst) if lst else np.array([])
         return cat(ys), cat(ps), cat(ds), cat(ws)
 
-    def evaluate(self, model, data_loader, mode: str = "val"):
-        """Overall AUC + logloss (reference ctr_trainer.py:99-111)."""
+    def _predict_loader_device(self, data_loader):
+        """Device-resident prediction pass: probabilities, labels, domain
+        ids and padding weights stay ON DEVICE (one concatenated array
+        each) — no per-batch host transfer. Large eval sets then score
+        with the O(n log n) device AUC instead of the host rank loop."""
+        ys, ps, ds, ws = [], [], [], []
+        eval_params = self._params_for_eval()
+        for x, y, w in prefetch(data_loader, self.prefetch_depth):
+            xb, yb, wb = self._device_batch(x, y, w)
+            ps.append(self._eval_step(eval_params, self.state, xb, wb))
+            ys.append(yb)
+            ws.append(wb)
+            if "domain_indicator" in xb:
+                ds.append(xb["domain_indicator"])
+        cat = lambda lst: (jnp.concatenate(lst) if lst
+                           else jnp.zeros((0,), jnp.float32))
+        return cat(ys), cat(ps), cat(ds), cat(ws)
+
+    def evaluate(self, model, data_loader, mode: str = "val",
+                 on_device: bool = False):
+        """Overall AUC + logloss (reference ctr_trainer.py:99-111).
+
+        ``on_device=True``: score with the device AUC/logloss under the
+        padding-weight mask — validated equal to the host path on all six
+        dataset samples (scripts/validate_device_eval.py) and in
+        tests/test_metrics_trainer_data.py.
+        """
+        if on_device:
+            y, p, _, w = self._predict_loader_device(data_loader)
+            m = w > 0
+            return (float(auc_score_device(y, p, m)),
+                    float(log_loss_device(y, p, m)))
         y, p, _, _ = self._predict_loader(data_loader)
         return auc_score(y, p), log_loss_score(y, p)
 
-    def evaluate_multi_domain_loss(self, model, data_loader, domain_num: int):
+    def evaluate_multi_domain_loss(self, model, data_loader, domain_num: int,
+                                   on_device: bool = False):
         """Per-domain + overall AUC/logloss (reference ctr_trainer.py:113-152).
 
         Returns ``(domain_logloss[D], domain_auc[D], total_logloss,
         total_auc)`` with ``None`` for empty domains, exactly as reference.
+        ``on_device=True`` computes every metric from device arrays with
+        static-shape per-domain masks (one host fetch for the counts).
         """
+        if on_device:
+            y, p, d, w = self._predict_loader_device(data_loader)
+            keep = w > 0
+            counts = np.asarray(jnp.stack(
+                [jnp.sum((d == dom) & keep) for dom in range(domain_num)]))
+            domain_logloss_list, domain_auc_list = [], []
+            for dom in range(domain_num):
+                if counts[dom] > 0:
+                    m = (d == dom) & keep
+                    domain_logloss_list.append(
+                        float(log_loss_device(y, p, m)))
+                    domain_auc_list.append(float(auc_score_device(y, p, m)))
+                else:
+                    domain_logloss_list.append(None)
+                    domain_auc_list.append(None)
+            any_rows = bool(counts.sum() > 0) or bool(
+                float(jnp.sum(keep)) > 0)
+            total_logloss = (float(log_loss_device(y, p, keep))
+                             if any_rows else None)
+            total_auc = (float(auc_score_device(y, p, keep))
+                         if any_rows else None)
+            return (domain_logloss_list, domain_auc_list, total_logloss,
+                    total_auc)
         y, p, d, _ = self._predict_loader(data_loader)
         domain_logloss_list, domain_auc_list = [], []
         for dom in range(domain_num):

@@ -73,7 +73,8 @@ def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
                                         seed=seed)
     trainer.fit(train_dl, val_dl)
     domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
-        trainer.model, test_dl, domain_num
+        trainer.model, test_dl, domain_num,
+        on_device=getattr(args, "device_eval", False),
     )
     print(f"test auc: {auc} | test logloss: {logloss}")
     for d in range(domain_num):
@@ -128,4 +129,7 @@ def standard_argparser(default_path: str):
     parser.add_argument("--device_resident", action="store_true",
                         help="device-resident epochs: batches assembled on "
                              "the TPU (data/device.py)")
+    parser.add_argument("--device_eval", action="store_true",
+                        help="score AUC/logloss on device (static-shape "
+                             "per-domain masks; for large eval sets)")
     return parser

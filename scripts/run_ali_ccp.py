@@ -149,7 +149,8 @@ def main(dataset_path, model_name, epoch, learning_rate, batch_size,
                                         seed=seed)
     trainer.fit(train_dl, val_dl)
     domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
-        trainer.model, test_dl, domain_num
+        trainer.model, test_dl, domain_num,
+        on_device=getattr(args, "device_eval", False),
     )
     print(f"test auc: {auc} | test logloss: {logloss}")
     for dom in range(domain_num):
@@ -187,6 +188,7 @@ if __name__ == "__main__":
                         choices=["dense", "winner", "occurrence", "sorted"])
     parser.add_argument("--fused_inference", action="store_true")
     parser.add_argument("--device_resident", action="store_true")
+    parser.add_argument("--device_eval", action="store_true")
     args = parser.parse_args()
     main(args.dataset_path, args.model_name, args.epoch, args.learning_rate,
          args.batch_size, args.weight_decay, args.device, args.save_dir,

@@ -150,3 +150,69 @@ def test_datagen_explicit_splits():
         x_test={"a": np.arange(6)}, y_test=np.zeros(6), batch_size=4,
     )
     assert len(tr.dataset) == 10 and len(va.dataset) == 4 and len(te.dataset) == 6
+
+
+def test_auc_host_vectorized_ties_matches_sklearn(np_rng):
+    """Quantized scores -> massive tie groups: the vectorized np.unique
+    tie-rank must equal sklearn exactly (the old Python tie loop was
+    O(#groups))."""
+    from sklearn.metrics import roc_auc_score
+
+    y = np_rng.integers(0, 2, 5000).astype(np.float64)
+    y[0], y[1] = 0, 1
+    p = np.round(np_rng.random(5000), 2)  # ~100 distinct values
+    assert auc_score(y, p) == pytest.approx(roc_auc_score(y, p), abs=1e-12)
+
+
+def test_auc_device_masked_matches_host_subset(np_rng):
+    import jax.numpy as jnp
+
+    from scenario_wise_rec_tpu.train.metrics import log_loss_device
+
+    n = 2000
+    y = np_rng.integers(0, 2, n).astype(np.float32)
+    # quantized (ties) but unsaturated: the device log loss clips at the
+    # f32-representable 1e-7, not sklearn's sub-f32 1e-15
+    p = (np.round(np_rng.random(n).astype(np.float32), 2) * 0.98
+         + 0.01).astype(np.float32)
+    m = np_rng.integers(0, 2, n).astype(bool)
+    y[np.flatnonzero(m)[:2]] = [0, 1]  # both classes in the subset
+    host = auc_score(y[m], p[m])
+    dev = float(auc_score_device(jnp.asarray(y), jnp.asarray(p),
+                                 jnp.asarray(m)))
+    assert dev == pytest.approx(host, abs=5e-5)
+    host_ll = log_loss_score(y[m], p[m])
+    dev_ll = float(log_loss_device(jnp.asarray(y), jnp.asarray(p),
+                                   jnp.asarray(m)))
+    assert dev_ll == pytest.approx(host_ll, abs=5e-6)
+
+
+def test_trainer_evaluate_on_device_matches_host(np_rng):
+    import jax.numpy as jnp  # noqa: F401
+
+    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    n = 300
+    x = {"s0": np_rng.integers(0, 20, n).astype(np.int32),
+         "d0": np_rng.normal(size=n).astype(np.float32),
+         "domain_indicator": np_rng.integers(0, 3, n).astype(np.int32)}
+    y = np_rng.integers(0, 2, n).astype(np.float32)
+    ds = ColumnarDataset(x, y)
+    dl = BatchIterable(ds, 64)  # last batch padded -> weight mask exercised
+    feats = [SparseFeature("s0", vocab_size=20, embed_dim=8),
+             DenseFeature("d0")]
+    model = MMOE(feats, 3, n_expert=2, expert_params={"dims": [8]},
+                 tower_params={"dims": [4]})
+    tr = CTRTrainer(model, seed=0)
+    auc_h, ll_h = tr.evaluate(model, dl)
+    auc_d, ll_d = tr.evaluate(model, dl, on_device=True)
+    assert auc_d == pytest.approx(auc_h, abs=5e-5)
+    assert ll_d == pytest.approx(ll_h, abs=5e-6)
+    h = tr.evaluate_multi_domain_loss(model, dl, 3)
+    d = tr.evaluate_multi_domain_loss(model, dl, 3, on_device=True)
+    for a, b in zip(h[1] + [h[3]], d[1] + [d[3]]):
+        assert b == pytest.approx(a, abs=5e-5)
+    for a, b in zip(h[0] + [h[2]], d[0] + [d[2]]):
+        assert b == pytest.approx(a, abs=5e-6)
