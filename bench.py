@@ -168,7 +168,9 @@ def _make_trainer(vocab, sparse, impl):
                  expert_params={"dims": [256, 128, 64, 32, 16, 8]},
                  tower_params={"dims": [16]})
     return CTRTrainer(model, sparse_embedding_updates=sparse,
-                      sparse_update_impl=impl, scan_steps=SCAN)
+                      sparse_update_impl=impl, scan_steps=SCAN,
+                      resident_gather=os.environ.get("SWR_RESIDENT_GATHER",
+                                                     "step"))
 
 
 def _measure_device_only(vocab, sparse, impl, stage_prefix=""):

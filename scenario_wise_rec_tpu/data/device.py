@@ -88,12 +88,14 @@ class DeviceResidentLoader:
             w[-pad:] = 0.0
         return idx.astype(np.int32), w
 
-    def gather_batch(self, xi, xf, ids):
+    def gather_batch(self, xi, xf, ids=None):
         """Reassemble the model's ``(x_dict, y)`` from gathered rows.
 
         ``xi = int_mat[ids]``, ``xf = float_mat[ids]`` — traced inside the
-        jitted scan body; slices below are free views for XLA."""
-        b = ids.shape[0]
+        jitted scan body; slices below are free views for XLA. ``ids`` is
+        unused (kept for call-site compatibility)."""
+        del ids
+        b = xi.shape[0]
         x = {}
         for name, (kind, start, width, tail) in self.layout.items():
             src = xi if kind == "int" else xf

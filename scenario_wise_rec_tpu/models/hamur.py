@@ -131,12 +131,22 @@ class _Hamur(Model):
         return h.reshape(-1, self.k, self.k), new_state
 
     def _adapter(self, a, h, hyper_out, w=None):
-        """One adapter cell on [B, w] (hamur.py:156-198)."""
-        w1 = jnp.einsum("mi,bij,jn->bmn", a["u_down"], hyper_out, a["v_down"])
-        t = jnp.einsum("bf,bfj->bj", h, w1) + a["b_down"]
-        t = jax.nn.sigmoid(t)
-        w2 = jnp.einsum("mi,bij,jn->bmn", a["u_up"], hyper_out, a["v_up"])
-        t = jnp.einsum("bf,bfj->bj", t, w2) + a["b_up"]
+        """One adapter cell on [B, w] (hamur.py:156-198).
+
+        The contraction is re-associated ``((h·U)·H_b)·V`` — identical
+        math to the reference's materialized per-row ``U·H_b·V`` weight
+        up to f32 association, at O(B·(w·k + k² + k·m)) FLOPs instead of
+        O(B·w·m·k²), and EXACTLY the association the fused Pallas kernel
+        uses (ops/pallas/hamur_infer.py), so the fused-vs-XLA eval diff is
+        tile-order only instead of being amplified through the chained
+        batch-stat domain norms (PROFILE.md round-3 hamurlarge 3.5e-2)."""
+        p = jnp.einsum("bf,fi->bi", h, a["u_down"])
+        q = jnp.einsum("bi,bij->bj", p, hyper_out)
+        t = jax.nn.sigmoid(jnp.einsum("bj,jn->bn", q, a["v_down"])
+                           + a["b_down"])
+        p = jnp.einsum("bf,fi->bi", t, a["u_up"])
+        q = jnp.einsum("bi,bij->bj", p, hyper_out)
+        t = jnp.einsum("bj,jn->bn", q, a["v_up"]) + a["b_up"]
         t = domain_norm(t, a["gamma"], a["beta"], eps=1e-5, unbiased=True,
                         w=w)
         return t + h

@@ -79,12 +79,13 @@ class CTRTrainer:
         mesh=None,
         sparse_embedding_updates: bool = False,
         sparse_update_impl: str = "occurrence",
-        fused_inference: bool = False,
+        fused_inference=False,  # False | True | "auto"
         donate_buffers: bool = False,
         scan_steps: int = 1,
         prefetch_depth: int = 2,
         sorted_reorder: str = "gather",
         sorted_block_rows: int = 8192,
+        resident_gather: str = "step",
     ):
         self.model = model
         self.data_set_type = data_set_type
@@ -192,12 +193,26 @@ class CTRTrainer:
         self.epoch_i = 0
 
         self._lr_now = self._base_lr
+        # fused_inference: False | True | "auto" — "auto" consults the
+        # measured per-model win table (ops/pallas.FUSED_INFERENCE_WINS,
+        # PROFILE.md SS1): gate/mixture families fuse, adapter/hyper
+        # families stay on the XLA eval.
+        if fused_inference == "auto":
+            from ..ops.pallas import fused_inference_auto
+
+            fused_inference = fused_inference_auto(model)
         self._fused_inference = bool(fused_inference)
         self._donate_buffers = bool(donate_buffers)
         self.scan_steps = max(1, int(scan_steps))
         # Host batch prep (slice / [S,B] stack) runs on a prefetch thread so
         # it overlaps device execution (data/prefetch.py); 0 disables.
         self.prefetch_depth = max(0, int(prefetch_depth))
+        # device-resident epochs: "step" gathers each batch's rows inside
+        # the scan body (two [B]-row gathers per step); "dispatch" gathers
+        # all S batches once per dispatch (two [S*B]-row gathers) — same
+        # bytes, fewer indexed ops; A/B'd on-chip (PROFILE.md SS4)
+        assert resident_gather in ("step", "dispatch"), resident_gather
+        self._resident_gather = resident_gather
         self._train_step = self._build_train_step(self.optimizer)
         self._train_step_scan = (
             self._build_train_step_scan(self.optimizer)
@@ -546,21 +561,37 @@ class CTRTrainer:
         host's per-dispatch work is one [S·B]-int permutation slice."""
         body = self._make_step_body(optimizer)
         gather_batch = loader.gather_batch
+        per_dispatch = self._resident_gather == "dispatch"
 
         @self._jit()
         def scan_step(params, opt_state, state, int_mat, float_mat,
                       ids, ws, rng):
+            if per_dispatch:
+                # ONE [S*B]-row gather per matrix per dispatch; the scan
+                # then consumes pre-gathered [S, B, C] slices
+                s, b = ids.shape
+                flat = ids.reshape(-1)
+                xi_all = int_mat[flat].reshape(s, b, -1)
+                xf_all = float_mat[flat].reshape(s, b, -1)
+                batches = (xi_all, xf_all, ws)
+            else:
+                batches = (ids, ws)
+
             def f(carry, batch):
                 params, opt_state, state, rng = carry
-                bids, w = batch
-                x, y = gather_batch(int_mat[bids], float_mat[bids], bids)
+                if per_dispatch:
+                    xi, xf, w = batch
+                else:
+                    bids, w = batch
+                    xi, xf = int_mat[bids], float_mat[bids]
+                x, y = gather_batch(xi, xf, None)
                 rng, k = jax.random.split(rng)
                 params, opt_state, state, loss = body(
                     params, opt_state, state, x, y, w, k)
                 return (params, opt_state, state, rng), loss
 
             (params, opt_state, state, _), losses = jax.lax.scan(
-                f, (params, opt_state, state, rng), (ids, ws))
+                f, (params, opt_state, state, rng), batches)
             return params, opt_state, state, losses
 
         return scan_step
@@ -613,18 +644,28 @@ class CTRTrainer:
                                   self._resident_repl[3])
         pending, done = [], 0
         n_rows = n_disp * s * b
-        if n_disp:
-            ids_all = jnp.asarray(perm[:n_rows].reshape(n_disp, s, b))
-            ws_all = jnp.asarray(w[:n_rows].reshape(n_disp, s, b))
-            if self.mesh is not None:
-                sh = NamedSharding(self.mesh, P(None, None, "data"))
-                ids_all = jax.device_put(ids_all, sh)
-                ws_all = jax.device_put(ws_all, sh)
-        for d in range(n_disp):
+        # per-dispatch permutation uploads on the prefetch thread: the
+        # [S*B]-int transfer for dispatch d+1 overlaps dispatch d's device
+        # execution instead of blocking the epoch up front (VERDICT r3 #7)
+        ids_host = perm[:n_rows].reshape(n_disp, s, b)
+        ws_host = w[:n_rows].reshape(n_disp, s, b)
+        sh = (NamedSharding(self.mesh, P(None, "data"))
+              if self.mesh is not None else None)
+
+        def _uploads():
+            for d in range(n_disp):
+                ids_d = jnp.asarray(ids_host[d])
+                ws_d = jnp.asarray(ws_host[d])
+                if sh is not None:
+                    ids_d = jax.device_put(ids_d, sh)
+                    ws_d = jax.device_put(ws_d, sh)
+                yield ids_d, ws_d
+
+        for ids_d, ws_d in prefetch(_uploads(), self.prefetch_depth):
             self.rng, k = jax.random.split(self.rng)
             (self.params, self.opt_state, self.state,
              losses) = fn(self.params, self.opt_state, self.state,
-                          int_mat, float_mat, ids_all[d], ws_all[d], k)
+                          int_mat, float_mat, ids_d, ws_d, k)
             pending.append(losses)
             done += s
             if done % max(log_interval, 1) < s:

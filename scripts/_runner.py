@@ -123,9 +123,11 @@ def standard_argparser(default_path: str):
     parser.add_argument("--sparse_update_impl", default="occurrence",
                         choices=["dense", "winner", "occurrence", "sorted"],
                         help="embedding update formulation (see README)")
-    parser.add_argument("--fused_inference", action="store_true",
-                        help="Pallas fused eval kernels (PROFILE.md per-"
-                             "model guidance)")
+    parser.add_argument("--fused_inference", nargs="?", const=True,
+                        default=False,
+                        help="Pallas fused eval kernels: flag alone forces "
+                             "on; '--fused_inference auto' consults the "
+                             "measured per-model win table (PROFILE.md)")
     parser.add_argument("--device_resident", action="store_true",
                         help="device-resident epochs: batches assembled on "
                              "the TPU (data/device.py)")

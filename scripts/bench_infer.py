@@ -133,6 +133,12 @@ def main():
             "unit": "examples/s/chip",
         }), flush=True)
 
+    # what "auto" mode would pick for this model (trainer default guidance)
+    from scenario_wise_rec_tpu.ops.pallas import fused_inference_auto
+    print(json.dumps({"metric": f"infer_auto_gate_{MODEL}",
+                      "value": 1.0 if fused_inference_auto(model) else 0.0,
+                      "unit": "bool(fused wins)"}), flush=True)
+
     # numerical agreement on the real device (not just interpret mode)
     a = np.asarray(eval_xla(params, state, x))
     b = np.asarray(eval_fused(params, state, x))

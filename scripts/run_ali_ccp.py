@@ -186,7 +186,8 @@ if __name__ == "__main__":
     parser.add_argument("--sparse_embedding_updates", action="store_true")
     parser.add_argument("--sparse_update_impl", default="occurrence",
                         choices=["dense", "winner", "occurrence", "sorted"])
-    parser.add_argument("--fused_inference", action="store_true")
+    parser.add_argument("--fused_inference", nargs="?", const=True,
+                        default=False)
     parser.add_argument("--device_resident", action="store_true")
     parser.add_argument("--device_eval", action="store_true")
     args = parser.parse_args()

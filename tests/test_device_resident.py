@@ -134,3 +134,24 @@ def test_fit_accepts_resident_loader(tmp_path):
     res = DeviceResidentLoader(ds, 16, seed=2)
     val = BatchIterable(_data(32, seed=9), 16)
     tr.fit(res, val)  # epoch + eval + checkpoint write
+
+
+def test_resident_gather_dispatch_matches_step():
+    """resident_gather='dispatch' (one [S*B]-row gather per dispatch) is
+    numerically identical to the per-step gather formulation."""
+    ds = _data()
+    model_kw = dict(n_expert=2, expert_params={"dims": [16]},
+                    tower_params={"dims": [8]})
+    ts = CTRTrainer(MMOE(FEATS, 2, **model_kw), seed=11, scan_steps=3,
+                    prefetch_depth=0, resident_gather="step")
+    td = CTRTrainer(MMOE(FEATS, 2, **model_kw), seed=11, scan_steps=3,
+                    prefetch_depth=0, resident_gather="dispatch")
+    for tr in (ts, td):
+        loader = DeviceResidentLoader(ds, 16, seed=5)
+        for _ in range(2):
+            tr.train_one_epoch(loader, log_interval=10**9)
+    for (p, vs), (_, vd) in zip(
+            jax.tree_util.tree_leaves_with_path(ts.params),
+            jax.tree_util.tree_leaves_with_path(td.params)):
+        np.testing.assert_allclose(np.asarray(vd), np.asarray(vs),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(p))

@@ -377,3 +377,20 @@ def test_m2m_fused_infer_matches_apply():
     got = model.apply_fused_eval(params, state, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_inference_auto_gate():
+    """fused_inference='auto' consults the measured per-model win table
+    (PROFILE.md SS1): gate/mixture families fuse, adapter families don't."""
+    from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
+    from scenario_wise_rec_tpu.models import MMOE, HamurSmall
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    feats = [SparseFeature("s0", vocab_size=10, embed_dim=8),
+             DenseFeature("d0")]
+    mmoe = MMOE(feats, 2, n_expert=2, expert_params={"dims": [8]},
+                tower_params={"dims": [4]})
+    hamur = HamurSmall(feats, 2, fcn_dims=[8, 4], hyper_dims=[4], k=2)
+    assert CTRTrainer(mmoe, fused_inference="auto")._fused_inference is True
+    assert CTRTrainer(hamur, fused_inference="auto")._fused_inference is False
+    assert CTRTrainer(hamur, fused_inference=True)._fused_inference is True
