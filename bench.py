@@ -169,6 +169,8 @@ def _make_trainer(vocab, sparse, impl):
                  tower_params={"dims": [16]})
     return CTRTrainer(model, sparse_embedding_updates=sparse,
                       sparse_update_impl=impl, scan_steps=SCAN,
+                      sorted_reorder=os.environ.get("SWR_SORTED_REORDER",
+                                                    "gather"),
                       resident_gather=os.environ.get("SWR_RESIDENT_GATHER",
                                                      "step"))
 

@@ -44,10 +44,15 @@ Mechanism (all static shapes, zero scatters, zero per-id scalar work):
 Empty vocab blocks get one masked work item (their one-hot matches
 nothing) so dense decay still reaches every row; surplus work items target
 a dedicated PAD block appended after the real vocab (real ids can never
-match it). The authority arrays therefore live PADDED to
-``(nb + 1) * block_rows`` rows for the whole training run
-(train/optim.py:sorted_dense_adam_init) — padding per step would cost
-O(V) copies.
+match it). The authority arrays live PADDED to ``(nb + 1) * block_rows``
+rows AND in the packed ``[V2/r, 128]`` tile layout for the whole training
+run (train/optim.py:sorted_dense_adam_init): padding per step would cost
+O(V) copies, and reshaping ``[V2/r, 128] <-> [V2, D]`` inside the jitted
+step is fatal — XLA implements that reshape bitcast-free by giving the
+``[V2, D]`` side a padded ``T(8,128)`` layout, an 8x-expanded 5.13 GB
+allocation PER ARRAY at the 10.7M-row production scale (measured OOM:
+17.4 G of 15.75 G HBM). The forward's row gather reads the packed tiles
+directly (:func:`packed_row_gather`).
 
 The reference framework has no counterpart (dense torch-Adam over
 ``nn.Embedding.weight``, basic/layers.py:51-62 + ctr_trainer.py:50-52);
@@ -108,6 +113,46 @@ def _kernel(rbp: int,
         tbl_out[...] = p0 - lr * (mu * bc1r) / (jnp.sqrt(nu * bc2r) + eps)
         mu_out[...] = mu
         nu_out[...] = nu
+
+
+def pack_rows(a, block_rows: int):
+    """``[V, D] -> ([V2/r, 128], v)`` packed-tile layout with the pad block
+    appended (see module docstring). EAGER-use only (init/checkpoint
+    adoption): inside a jitted step the reshape materializes the padded
+    T(8,128) layout."""
+    v, d = a.shape
+    assert 128 % d == 0, f"packed tile layout requires d | 128, got {d}"
+    r = 128 // d
+    nb = -(-v // block_rows)
+    pad = (nb + 1) * block_rows - v
+    full = jnp.concatenate([a, jnp.zeros((pad, d), a.dtype)])
+    return full.reshape(full.shape[0] // r, 128)
+
+
+def unpack_rows(packed, v: int, d: int):
+    """Inverse of :func:`pack_rows`: ``[V2/r, 128] -> [V, D]`` (EAGER-use
+    only — eval/save materialization, never inside the jitted step)."""
+    r = 128 // d
+    return packed.reshape(packed.shape[0] * r, d)[:v]
+
+
+def packed_row_gather(packed, ids, d: int):
+    """``table[ids]`` read straight from the packed ``[V2/r, 128]`` tiles.
+
+    One [K]-row gather of full 128-lane tile rows (``ids // r`` — a tile
+    row is one HBM tile touch either way) followed by a static lane-group
+    select (r two-dim slices + masked adds; no 3-D temps, no reshapes —
+    both would materialize padded layouts on TPU). Returns ``[K, D]``.
+    """
+    r = 128 // d
+    if r == 1:
+        return packed[ids]
+    rows128 = packed[ids // r]                       # [K, 128]
+    j = (ids % r)[:, None]
+    out = jnp.zeros((ids.shape[0], d), packed.dtype)
+    for g in range(r):
+        out = out + jnp.where(j == g, rows128[:, g * d:(g + 1) * d], 0.0)
+    return out
 
 
 def owner_sorted_grads(ids, g_rows, segments, offsets,
@@ -181,30 +226,34 @@ def owner_sorted_grads(ids, g_rows, segments, offsets,
     return sorted_ids, g_sorted
 
 
-def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp,
+def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
                             *, block_rows: int = 8192,
                             interpret: bool | None = None):
     """One fused dense-Adam pass (see module docstring).
 
     Args:
-        table, mu, nu: ``[V2, D]`` f32, PRE-PADDED to
-            ``V2 = (nb + 1) * block_rows`` (``sorted_dense_adam_init``) —
-            the last block is the surplus-work-item dump; real ids must be
-            ``< nb * block_rows``.
+        table, mu, nu: ``[V2/r, 128]`` f32 PACKED tiles, pre-padded to
+            ``V2 = (nb + 1) * block_rows`` logical rows (``pack_rows`` /
+            ``sorted_dense_adam_init``) — the last block is the
+            surplus-work-item dump; real ids must be
+            ``< nb * block_rows``. Kept packed end-to-end: see the module
+            docstring's layout-OOM note.
         sorted_ids: ``[K]`` int32, globally ascending (owner_sorted_grads).
         g_sorted: ``[K, D]`` gradient rows aligned with sorted_ids
             (duplicates allowed — they sum in the accumulator, exactly
             like autodiff's scatter-add).
         hp: ``[7]`` f32: lr, weight_decay, b1, b2, 1/(1-b1^t),
             1/(1-b2^t), eps.
+        d: the logical row width D (not inferable from the packed shape).
 
-    Returns ``(new_table, new_mu, new_nu)`` with the padded shape.
+    Returns ``(new_table, new_mu, new_nu)`` packed, same shapes.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    v2, d = table.shape
     assert 128 % d == 0, f"sorted_dense_adam requires d | 128, got {d}"
     r = 128 // d
+    v2 = table.shape[0] * r
+    assert table.shape[1] == 128, table.shape
     assert block_rows % r == 0 and v2 % block_rows == 0, (block_rows, v2)
     nb = v2 // block_rows - 1          # real blocks; block nb is the dump
     assert nb >= 1, "need at least one real vocab block"
@@ -251,9 +300,6 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp,
     first = jnp.concatenate([one, change.astype(jnp.int32)])
     emit = jnp.concatenate([change.astype(jnp.int32), one])
 
-    def packed(a):
-        return a.reshape(a.shape[0] // r, 128)
-
     def blk_spec():
         return pl.BlockSpec((rbp, 128),
                             lambda i, hp, wb, wc, f, e: (wb[i], 0),
@@ -280,6 +326,5 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp,
         # flattened inputs: (hp, wb, wc, first, emit, rv, g2, tbl, mu, nu)
         input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,
-    )(hp, wb, wc, first, emit, rv, g2,
-      packed(table), packed(mu), packed(nu))
-    return tuple(o.reshape(v2, d) for o in out)
+    )(hp, wb, wc, first, emit, rv, g2, table, mu, nu)
+    return tuple(out)

@@ -47,6 +47,25 @@ def frozen_rows_mask(v: int, spans: Sequence[Tuple[int, int]]) -> jnp.ndarray:
     return frozen_ids_mask(row, spans)
 
 
+def frozen_packed_mask(nrows: int, d: int,
+                       spans: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """Bool ``[nrows, 128]`` mask over a PACKED ``[V2/r, 128]`` tile array
+    (r = 128 // d rows per tile row, ops/pallas/sorted_adam.py): True on
+    lanes belonging to frozen logical rows. Built from 2-D iotas — no
+    [V2, D]-shaped intermediate (padded-layout hazard)."""
+    r = 128 // d
+    row = (jnp.arange(nrows, dtype=jnp.int32)[:, None] * r
+           + jnp.arange(128, dtype=jnp.int32)[None, :] // d)
+    return frozen_ids_mask(row, spans)
+
+
+def blend_frozen_packed(old, new, d: int, spans):
+    """Packed-layout counterpart of :func:`blend_frozen_rows`."""
+    if not spans:
+        return new
+    return jnp.where(frozen_packed_mask(new.shape[0], d, spans), old, new)
+
+
 def blend_frozen_rows(old, new, spans):
     """``new`` with frozen rows restored from ``old`` (no-op if no spans)."""
     if not spans:

@@ -392,28 +392,32 @@ def sorted_dense_adam_init(table, block_rows: int = 8192):
     """Optimizer state for :func:`sorted_dense_adam_update`.
 
     The authority table + Adam moments live PADDED to
-    ``(nb + 1) * block_rows`` rows for the whole run: ``nb`` real vocab
+    ``(nb + 1) * block_rows`` logical rows AND in the packed
+    ``[V2/r, 128]`` tile layout for the whole run: ``nb`` real vocab
     blocks for the streaming kernel plus one PAD block that absorbs the
-    work-list's surplus items (ops/pallas/sorted_adam.py). Padding per
-    step instead would cost six O(V) copies. Pad rows stay exactly zero
-    (their gradient and weight-decay term are both zero), so
-    ``state["table"][:V]`` is always the live packed table — the trainer's
-    eval/save path materializes it (CTRTrainer._params_for_eval).
+    work-list's surplus items (ops/pallas/sorted_adam.py). Padding or
+    re-laying-out per step instead would cost O(V) copies — and the
+    ``[V2, D]`` shape must NEVER appear inside the jitted step at all:
+    XLA realizes the packed<->plain reshape by giving the [V2, D] side a
+    padded T(8,128) layout, an 8x-expanded allocation that OOMs HBM at
+    production vocab (measured; see ops/pallas/sorted_adam.py). Pad rows
+    stay exactly zero (their gradient and weight-decay term are both
+    zero); eval/save materialize the live ``[V, D]`` table EAGERLY via
+    ``unpack_rows`` (CTRTrainer._params_for_eval).
     """
-    v, d = table.shape
-    nb = -(-v // block_rows)
-    pad = (nb + 1) * block_rows - v
-    z = jnp.zeros((pad, d), table.dtype)
-    full = jnp.concatenate([table, z])
+    from ..ops.pallas.sorted_adam import pack_rows
+
+    packed = pack_rows(table, block_rows)
     return {
-        "table": full,
-        "mu": jnp.zeros_like(full),
-        "nu": jnp.zeros_like(full),
+        "table": packed,
+        "mu": jnp.zeros_like(packed),
+        "nu": jnp.zeros_like(packed),
         "step": jnp.zeros((), jnp.int32),
     }
 
 
 def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
+                             d: int,
                              lr: float = 1e-3, weight_decay: float = 1e-5,
                              b1: float = 0.9, b2: float = 0.999,
                              eps: float = 1e-8,
@@ -435,13 +439,19 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
     kernel a per-id scalar loop; this one pays neither.
 
     ``offsets``: owner -> packed row offset (EmbeddingCollection.offsets),
-    needed to concatenate the per-owner sorts in global order.
+    needed to concatenate the per-owner sorts in global order. ``d``: the
+    logical row width (the authority arrays are stored PACKED
+    ``[V2/r, 128]``, see :func:`sorted_dense_adam_init`).
     ``reorder``: how gradient rows reach sorted order ("gather" |
     "payload", see ops/pallas/sorted_adam.owner_sorted_grads).
     ``use_pallas=False`` (forced under a partitioned mesh, default on CPU)
-    runs the identical math as one XLA scatter-add + vectorized dense Adam.
+    runs the identical math as one XLA scatter-add + vectorized dense Adam
+    on the unpacked view (free on CPU; on a real-TPU mesh the unpack
+    reshape materializes a padded layout — the kernel path is the TPU
+    path).
 
-    Returns the new ``opt_state``; live weights are ``state["table"][:V]``.
+    Returns the new ``opt_state``; live weights =
+    ``unpack_rows(state["table"], V, D)``.
     """
     from ..ops.pallas.fused_adam import fused_dense_adam_ref
     from ..ops.pallas.sorted_adam import (owner_sorted_grads,
@@ -458,22 +468,29 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
         jnp.float32(eps),
     ])
     def _out(nt, nm, nn):
+        # frozen pretrained rows keep old weights AND moments (packed-
+        # layout mask — no [V2, D] intermediate)
         if frozen_spans:
-            from .freeze import blend_frozen_rows
-            nt = blend_frozen_rows(table, nt, frozen_spans)
-            nm = blend_frozen_rows(mu, nm, frozen_spans)
-            nn = blend_frozen_rows(nu, nn, frozen_spans)
+            from .freeze import blend_frozen_packed
+            nt = blend_frozen_packed(table, nt, d, frozen_spans)
+            nm = blend_frozen_packed(mu, nm, d, frozen_spans)
+            nn = blend_frozen_packed(nu, nn, d, frozen_spans)
         return {"table": nt, "mu": nm, "nu": nn, "step": t}
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    d = table.shape[1]
+    r = 128 // d
     if not use_pallas or 128 % d != 0 or ids.shape[0] == 0:
-        return _out(*fused_dense_adam_ref(table, mu, nu, g_rows, ids, hp))
+        v2 = table.shape[0] * r
+        nt, nm, nn = fused_dense_adam_ref(
+            table.reshape(v2, d), mu.reshape(v2, d), nu.reshape(v2, d),
+            g_rows, ids, hp)
+        return _out(nt.reshape(-1, 128), nm.reshape(-1, 128),
+                    nn.reshape(-1, 128))
     sorted_ids, g_sorted = owner_sorted_grads(ids, g_rows, segments,
                                               offsets, reorder=reorder)
     return _out(*sorted_dense_adam_apply(
-        table, mu, nu, sorted_ids, g_sorted, hp, block_rows=block_rows,
+        table, mu, nu, sorted_ids, g_sorted, hp, d, block_rows=block_rows,
         interpret=jax.default_backend() != "tpu"))
 
 

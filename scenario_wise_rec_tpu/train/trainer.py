@@ -172,10 +172,15 @@ class CTRTrainer:
             }
             self.params = self._strip_packed(self.params)
         elif self._sparse_emb and self._sparse_impl == "sorted":
-            # sorted-kernel mode: authority = the PADDED table/moments in
-            # opt_state (ops/pallas/sorted_adam.py needs (nb+1)*block_rows
-            # rows; padding per step would cost O(V) copies). Like the
-            # combined store, params carry no packed leaf during training.
+            # sorted-kernel mode: authority = the PADDED, PACKED-layout
+            # table/moments in opt_state (ops/pallas/sorted_adam.py —
+            # [V2/r, 128] tiles; the [V2, D] shape must never appear
+            # inside the step). Like the combined store, params carry no
+            # packed leaf during training.
+            assert 128 % self.model.embedding.packed_dim == 0, (
+                "sparse_update_impl='sorted' requires the packed embed_dim "
+                f"to divide 128, got {self.model.embedding.packed_dim}; "
+                "use impl='dense' or 'occurrence'")
             self.opt_state = {
                 "base": self.optimizer.init(self._strip_packed(self.params)),
                 "emb": sorted_dense_adam_init(
@@ -302,8 +307,11 @@ class CTRTrainer:
             d = self.model.embedding.packed_dim
             packed = self.opt_state["emb"]["comb"][:, :d]
         elif self._sorted_mode:
-            v = self.model.embedding.packed_vocab
-            packed = self.opt_state["emb"]["table"][:v]
+            from ..ops.pallas.sorted_adam import unpack_rows
+
+            packed = unpack_rows(self.opt_state["emb"]["table"],
+                                 self.model.embedding.packed_vocab,
+                                 self.model.embedding.packed_dim)
         else:
             return self.params
         return {**self.params,
@@ -325,9 +333,12 @@ class CTRTrainer:
             comb = jnp.asarray(emb["comb"])  # checkpoints load as numpy
             emb = {**emb, "comb": comb.at[:, :d].set(packed)}
         else:
-            v = packed.shape[0]
-            table = jnp.asarray(emb["table"])
-            emb = {**emb, "table": table.at[:v].set(packed)}
+            from ..ops.pallas.sorted_adam import pack_rows
+
+            new_packed = pack_rows(packed, self._sorted_block_rows)
+            assert new_packed.shape == jnp.shape(emb["table"]), (
+                new_packed.shape, jnp.shape(emb["table"]))
+            emb = {**emb, "table": new_packed}
         self.opt_state = {**self.opt_state, "emb": emb}
         self.params = self._strip_packed(params)
 
@@ -370,9 +381,13 @@ class CTRTrainer:
                 r3 = opt_state["emb"]["comb"][ids]
                 rows = r3[:, :collection.packed_dim]
             elif self._sparse_impl == "sorted":
-                # authority = padded table in opt_state (pad rows stay 0
-                # and ids never reach them)
-                rows = opt_state["emb"]["table"][ids]
+                # authority = padded packed-layout table in opt_state (pad
+                # rows stay 0 and ids never reach them); rows read straight
+                # from the [V2/r, 128] tiles
+                from ..ops.pallas.sorted_adam import packed_row_gather
+
+                rows = packed_row_gather(opt_state["emb"]["table"], ids,
+                                         collection.packed_dim)
             else:
                 packed = params["embedding"]["packed"]
                 rows = packed[ids]
@@ -406,6 +421,7 @@ class CTRTrainer:
                     opt_state["emb"], g_rows, ids,
                     collection.touched_owner_segments(x),
                     collection.offsets,
+                    collection.packed_dim,
                     block_rows=self._sorted_block_rows,
                     reorder=self._sorted_reorder,
                     use_pallas=False if self.mesh is not None else None,

@@ -12,7 +12,8 @@ from scenario_wise_rec_tpu.core import (DenseFeature, SequenceFeature,
                                         SparseFeature)
 from scenario_wise_rec_tpu.ops.pallas.fused_adam import fused_dense_adam_ref
 from scenario_wise_rec_tpu.ops.pallas.sorted_adam import (
-    owner_sorted_grads, sorted_dense_adam_apply)
+    owner_sorted_grads, pack_rows, packed_row_gather, sorted_dense_adam_apply,
+    unpack_rows)
 from scenario_wise_rec_tpu.train.optim import (sorted_dense_adam_init,
                                                sorted_dense_adam_update)
 
@@ -22,13 +23,18 @@ VOCABS = {"a": 30, "b": 30, "c": 40}
 V = 100
 
 
-def _make_batch(rng, seg_sizes):
+def _make_batch(rng, seg_sizes, c_hi=None):
     """segments incl. an aliased second segment on owner 'a' (cross-segment
-    duplicates within one owner span)."""
+    duplicates within one owner span). ``c_hi`` caps owner c's draws so the
+    tail of its span stays empty (empty-vocab-block coverage) — ids must
+    stay inside their owner's span (the global-sortedness invariant of
+    owner_sorted_grads)."""
     owners = ["a", "b", "c", "a"]
     ids_np, segments, pos = [], [], 0
     for owner, s in zip(owners, seg_sizes):
         lo, hi = OFFSETS[owner], OFFSETS[owner] + VOCABS[owner]
+        if owner == "c" and c_hi is not None:
+            hi = c_hi
         ids_np.append(rng.integers(lo, hi, s).astype(np.int32))
         segments.append((owner, pos, s))
         pos += s
@@ -69,38 +75,46 @@ def test_kernel_matches_dense_ref_with_duplicates_and_empty_blocks():
     blocks with zero ids (dense decay must still reach them)."""
     rng = np.random.default_rng(1)
     d, block_rows = 8, 32            # r = 16 rows per packed tile row
-    ids_np, segments, k = _make_batch(rng, [12, 12, 20, 8])
-    # leave ids out of [70, 100) so the last real block is empty
-    ids_np = np.where(ids_np >= 70, ids_np - 30, ids_np).astype(np.int32)
+    # owner c capped at 70: rows [70, 100) never touched -> the last real
+    # block has zero ids and must still receive dense decay. Segment sizes
+    # push K past several 128-id chunks so the work-list logic (chunk
+    # spans, block straddles, surplus pad items) is actually exercised.
+    ids_np, segments, k = _make_batch(rng, [160, 160, 240, 96], c_hi=70)
     ids = jnp.asarray(ids_np)
 
-    state = sorted_dense_adam_init(
-        jnp.asarray(rng.normal(size=(V, d)).astype(np.float32)),
-        block_rows=block_rows)
-    v2 = state["table"].shape[0]
+    table0 = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    state = sorted_dense_adam_init(table0, block_rows=block_rows)
+    r = 128 // d
+    v2 = state["table"].shape[0] * r
     assert v2 == (4 + 1) * block_rows
+    # packed round trip + packed gather match the plain table
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(state["table"], V, d)), np.asarray(table0))
+    np.testing.assert_array_equal(
+        np.asarray(packed_row_gather(state["table"], ids, d)),
+        np.asarray(table0[ids_np]))
 
-    ref_t = state["table"]
-    ref_mu, ref_nu = state["mu"], state["nu"]
+    ref_t = unpack_rows(state["table"], v2, d)
+    ref_mu = jnp.zeros((v2, d))
+    ref_nu = jnp.zeros((v2, d))
     for t in range(1, 4):
         g = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
         hp = _hp(t)
         sid, gs = owner_sorted_grads(ids, g, segments, OFFSETS)
         out_t, out_mu, out_nu = sorted_dense_adam_apply(
-            state["table"], state["mu"], state["nu"], sid, gs, hp,
+            state["table"], state["mu"], state["nu"], sid, gs, hp, d,
             block_rows=block_rows, interpret=True)
         ref_t, ref_mu, ref_nu = fused_dense_adam_ref(
             ref_t, ref_mu, ref_nu, g, ids, hp)
         state = {"table": out_t, "mu": out_mu, "nu": out_nu,
                  "step": state["step"] + 1}
-        np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
-                                   rtol=1e-6, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(out_mu), np.asarray(ref_mu),
-                                   rtol=1e-6, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(out_nu), np.asarray(ref_nu),
-                                   rtol=1e-6, atol=1e-7)
+        for got, want in ((out_t, ref_t), (out_mu, ref_mu),
+                          (out_nu, ref_nu)):
+            np.testing.assert_allclose(
+                np.asarray(unpack_rows(got, v2, d)), np.asarray(want),
+                rtol=1e-6, atol=1e-7)
     # pad rows never move
-    assert np.all(np.asarray(state["table"][V:]) == 0)
+    assert np.all(np.asarray(unpack_rows(state["table"], v2, d))[V:] == 0)
 
 
 def test_update_wrapper_pallas_matches_ref_path():
@@ -115,11 +129,11 @@ def test_update_wrapper_pallas_matches_ref_path():
     s_pay = {k2: v for k2, v in s_ref.items()}
     for _ in range(3):
         g = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
-        s_ref = sorted_dense_adam_update(s_ref, g, ids, segments, OFFSETS,
+        s_ref = sorted_dense_adam_update(s_ref, g, ids, segments, OFFSETS, d,
                                          use_pallas=False, block_rows=64)
-        s_pal = sorted_dense_adam_update(s_pal, g, ids, segments, OFFSETS,
+        s_pal = sorted_dense_adam_update(s_pal, g, ids, segments, OFFSETS, d,
                                          use_pallas=True, block_rows=64)
-        s_pay = sorted_dense_adam_update(s_pay, g, ids, segments, OFFSETS,
+        s_pay = sorted_dense_adam_update(s_pay, g, ids, segments, OFFSETS, d,
                                          use_pallas=True, block_rows=64,
                                          reorder="payload")
     for a, b in ((s_pal, s_ref), (s_pay, s_ref)):
@@ -188,7 +202,7 @@ def test_trainer_sorted_impl_matches_regular_dense_trainer():
         np.asarray(td.params["embedding"]["packed"]),
         rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(
-        np.asarray(ts.opt_state["emb"]["mu"][:90]),
+        np.asarray(unpack_rows(ts.opt_state["emb"]["mu"], 90, 8)),
         np.asarray(td.opt_state["emb"]["mu"]),
         rtol=1e-5, atol=1e-8)
     # non-embedding leaves identical too
