@@ -260,7 +260,7 @@ def _bench_e2e(trainer, budget):
                                                     ColumnarDataset)
     from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
 
-    n_disp = max(1, int(os.environ.get("SWR_E2E_DISPATCHES", 4)))
+    n_disp = max(1, int(os.environ.get("SWR_E2E_DISPATCHES", 16)))
     rows = n_disp * max(SCAN, 1) * BATCH
     rng = np.random.default_rng(7)
     cols = {f"s{i}": rng.integers(0, VOCAB, rows).astype(np.int32)
