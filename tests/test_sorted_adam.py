@@ -218,3 +218,50 @@ def test_trainer_sorted_impl_matches_regular_dense_trainer():
     np.testing.assert_allclose(
         np.asarray(ts._params_for_eval()["embedding"]["packed"]),
         np.asarray(pe["embedding"]["packed"]), rtol=0, atol=0)
+
+
+def test_checkpoint_roundtrip_and_impl_mismatch(tmp_path):
+    """sorted-mode save/load: dedup'd opt state round-trips (authority
+    table reconstructed from params), and loading into a trainer with a
+    different sparse_update_impl fails with a clear error."""
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    feats = [SparseFeature("s0", vocab_size=40, embed_dim=8),
+             DenseFeature("d0")]
+
+    def make(impl):
+        model = MMOE(feats, 2, n_expert=2, expert_params={"dims": [8]},
+                     tower_params={"dims": [4]})
+        return CTRTrainer(model, sparse_embedding_updates=True,
+                          sparse_update_impl=impl, sorted_block_rows=64,
+                          seed=3)
+
+    tr = make("sorted")
+    rng = np.random.default_rng(0)
+    b = 16
+    x = {"s0": jnp.asarray(rng.integers(0, 40, b).astype(np.int32)),
+         "d0": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+         "domain_indicator": jnp.asarray(
+             rng.integers(0, 2, b).astype(np.int32))}
+    y = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+    w = jnp.ones((b,), jnp.float32)
+    for _ in range(2):
+        tr.params, tr.opt_state, tr.state, _ = tr._train_step(
+            tr.params, tr.opt_state, tr.state, x, y, w,
+            jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck")
+    tr.save(path)
+
+    tr2 = make("sorted")
+    tr2.load(path)
+    np.testing.assert_allclose(
+        np.asarray(tr2.opt_state["emb"]["table"]),
+        np.asarray(tr.opt_state["emb"]["table"]), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(tr2.opt_state["emb"]["mu"]),
+        np.asarray(tr.opt_state["emb"]["mu"]), rtol=1e-6, atol=1e-7)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sparse_update_impl"):
+        make("occurrence").load(path)
