@@ -179,6 +179,7 @@ def _make_trainer(vocab, sparse, impl):
                       sparse_update_impl=impl, scan_steps=SCAN,
                       sorted_reorder=os.environ.get("SWR_SORTED_REORDER",
                                                     "gather"),
+                      sorted_dtype=os.environ.get("SWR_SORTED_DTYPE") or None,
                       resident_gather=os.environ.get("SWR_RESIDENT_GATHER",
                                                      "step"))
 

@@ -106,13 +106,18 @@ def _kernel(rbp: int,
         bc1r = hp_ref[4]   # 1 / (1 - b1**t)
         bc2r = hp_ref[5]   # 1 / (1 - b2**t)
         eps = hp_ref[6]
-        p0 = tbl_ref[...]
+        # Adam math always in f32; the tiles may be stored bf16
+        # (sorted_dtype="bf16" — halves the streaming floor)
+        out_dt = tbl_out.dtype
+        p0 = tbl_ref[...].astype(jnp.float32)
         g = acc[...] + wd * p0      # torch Adam: decay folded into the grad
-        mu = b1 * mu_ref[...] + (1.0 - b1) * g
-        nu = b2 * nu_ref[...] + (1.0 - b2) * (g * g)
-        tbl_out[...] = p0 - lr * (mu * bc1r) / (jnp.sqrt(nu * bc2r) + eps)
-        mu_out[...] = mu
-        nu_out[...] = nu
+        mu = b1 * mu_ref[...].astype(jnp.float32) + (1.0 - b1) * g
+        nu = (b2 * nu_ref[...].astype(jnp.float32)
+              + (1.0 - b2) * (g * g))
+        upd = lr * (mu * bc1r) / (jnp.sqrt(nu * bc2r) + eps)
+        tbl_out[...] = (p0 - upd).astype(out_dt)
+        mu_out[...] = mu.astype(out_dt)
+        nu_out[...] = nu.astype(out_dt)
 
 
 def pack_rows(a, block_rows: int):
@@ -322,7 +327,7 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
             out_specs=[blk_spec(), blk_spec(), blk_spec()],
             scratch_shapes=[pltpu.VMEM((rbp, 128), jnp.float32)],
         ),
-        out_shape=[jax.ShapeDtypeStruct((v2 // r, 128), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((v2 // r, 128), table.dtype)] * 3,
         # flattened inputs: (hp, wb, wc, first, emit, rv, g2, tbl, mu, nu)
         input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,

@@ -388,7 +388,7 @@ def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
     return _blend(new_table, new_mu, new_nu)
 
 
-def sorted_dense_adam_init(table, block_rows: int = 8192):
+def sorted_dense_adam_init(table, block_rows: int = 8192, dtype=None):
     """Optimizer state for :func:`sorted_dense_adam_update`.
 
     The authority table + Adam moments live PADDED to
@@ -404,10 +404,17 @@ def sorted_dense_adam_init(table, block_rows: int = 8192):
     stay exactly zero (their gradient and weight-decay term are both
     zero); eval/save materialize the live ``[V, D]`` table EAGERLY via
     ``unpack_rows`` (CTRTrainer._params_for_eval).
+
+    ``dtype``: optional storage dtype for the authority tiles — e.g.
+    ``jnp.bfloat16`` halves the 6-pass streaming floor (the Adam math
+    stays f32 in-kernel; weights AND moments round to bf16 each step —
+    a documented deviation, see README's parity ledger).
     """
     from ..ops.pallas.sorted_adam import pack_rows
 
     packed = pack_rows(table, block_rows)
+    if dtype is not None:
+        packed = packed.astype(dtype)
     return {
         "table": packed,
         "mu": jnp.zeros_like(packed),
@@ -482,11 +489,17 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
     r = 128 // d
     if not use_pallas or 128 % d != 0 or ids.shape[0] == 0:
         v2 = table.shape[0] * r
+        dt = table.dtype
+        # same quantization semantics as the kernel: math in f32, stored
+        # values rounded to the storage dtype each step
         nt, nm, nn = fused_dense_adam_ref(
-            table.reshape(v2, d), mu.reshape(v2, d), nu.reshape(v2, d),
+            table.reshape(v2, d).astype(jnp.float32),
+            mu.reshape(v2, d).astype(jnp.float32),
+            nu.reshape(v2, d).astype(jnp.float32),
             g_rows, ids, hp)
-        return _out(nt.reshape(-1, 128), nm.reshape(-1, 128),
-                    nn.reshape(-1, 128))
+        return _out(nt.astype(dt).reshape(-1, 128),
+                    nm.astype(dt).reshape(-1, 128),
+                    nn.astype(dt).reshape(-1, 128))
     sorted_ids, g_sorted = owner_sorted_grads(ids, g_rows, segments,
                                               offsets, reorder=reorder)
     return _out(*sorted_dense_adam_apply(

@@ -85,6 +85,7 @@ class CTRTrainer:
         prefetch_depth: int = 2,
         sorted_reorder: str = "gather",
         sorted_block_rows: int = 8192,
+        sorted_dtype: Optional[str] = None,
         resident_gather: str = "step",
     ):
         self.model = model
@@ -138,6 +139,12 @@ class CTRTrainer:
         self._sparse_impl = sparse_update_impl
         self._sorted_reorder = sorted_reorder
         self._sorted_block_rows = int(sorted_block_rows)
+        # sorted-mode authority storage dtype: "bf16" halves the streaming
+        # floor (Adam math stays f32 in-kernel; weights+moments round to
+        # bf16 each step — documented parity-ledger deviation)
+        assert sorted_dtype in (None, "bf16", "float32"), sorted_dtype
+        self._sorted_dtype = (jnp.bfloat16 if sorted_dtype == "bf16"
+                              else None)
         # frozen pretrained tables (Pretrained(freeze=True), reference
         # basic/initializers.py:76-92): static packed spans + loose names
         # from the feature list; every update path masks them
@@ -185,7 +192,8 @@ class CTRTrainer:
                 "base": self.optimizer.init(self._strip_packed(self.params)),
                 "emb": sorted_dense_adam_init(
                     self.params["embedding"]["packed"],
-                    block_rows=self._sorted_block_rows),
+                    block_rows=self._sorted_block_rows,
+                    dtype=self._sorted_dtype),
             }
             self.params = self._strip_packed(self.params)
         elif self._sparse_emb:
@@ -311,7 +319,8 @@ class CTRTrainer:
 
             packed = unpack_rows(self.opt_state["emb"]["table"],
                                  self.model.embedding.packed_vocab,
-                                 self.model.embedding.packed_dim)
+                                 self.model.embedding.packed_dim
+                                 ).astype(jnp.float32)
         else:
             return self.params
         return {**self.params,
@@ -335,7 +344,8 @@ class CTRTrainer:
         else:
             from ..ops.pallas.sorted_adam import pack_rows
 
-            new_packed = pack_rows(packed, self._sorted_block_rows)
+            new_packed = pack_rows(packed, self._sorted_block_rows).astype(
+                jnp.asarray(emb["table"]).dtype)
             assert new_packed.shape == jnp.shape(emb["table"]), (
                 new_packed.shape, jnp.shape(emb["table"]))
             emb = {**emb, "table": new_packed}
@@ -387,7 +397,8 @@ class CTRTrainer:
                 from ..ops.pallas.sorted_adam import packed_row_gather
 
                 rows = packed_row_gather(opt_state["emb"]["table"], ids,
-                                         collection.packed_dim)
+                                         collection.packed_dim
+                                         ).astype(jnp.float32)
             else:
                 packed = params["embedding"]["packed"]
                 rows = packed[ids]

@@ -265,3 +265,67 @@ def test_checkpoint_roundtrip_and_impl_mismatch(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sparse_update_impl"):
         make("occurrence").load(path)
+
+
+def test_bf16_storage_kernel_matches_ref_path():
+    """sorted_dtype='bf16' tiles: the interpret kernel and the XLA ref
+    path share quantization semantics (f32 math, bf16-rounded storage)."""
+    rng = np.random.default_rng(4)
+    d = 8
+    ids_np, segments, k = _make_batch(rng, [24, 24, 40, 8])
+    ids = jnp.asarray(ids_np)
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    s_ref = sorted_dense_adam_init(table, block_rows=64, dtype=jnp.bfloat16)
+    assert s_ref["table"].dtype == jnp.bfloat16
+    s_pal = dict(s_ref)
+    for _ in range(3):
+        g = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+        s_ref = sorted_dense_adam_update(s_ref, g, ids, segments, OFFSETS, d,
+                                         use_pallas=False, block_rows=64)
+        s_pal = sorted_dense_adam_update(s_pal, g, ids, segments, OFFSETS, d,
+                                         use_pallas=True, block_rows=64)
+    assert s_pal["table"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(s_pal["table"].astype(jnp.float32)),
+        np.asarray(s_ref["table"].astype(jnp.float32)),
+        rtol=1e-2, atol=1e-3)  # bf16-rounded storage: ~8-bit mantissa
+    # and the bf16 run tracks the f32 run to bf16 resolution
+    s32 = sorted_dense_adam_init(table, block_rows=64)
+    rng2 = np.random.default_rng(4)
+    _make_batch(rng2, [24, 24, 40, 8])
+    for _ in range(3):
+        g = jnp.asarray(rng2.normal(size=(k, d)).astype(np.float32))
+        s32 = sorted_dense_adam_update(s32, g, ids, segments, OFFSETS, d,
+                                       use_pallas=False, block_rows=64)
+    np.testing.assert_allclose(
+        np.asarray(s_ref["table"].astype(jnp.float32)),
+        np.asarray(s32["table"]), rtol=0.05, atol=0.02)
+
+
+def test_trainer_sorted_bf16_smoke():
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    feats = [SparseFeature("s0", vocab_size=40, embed_dim=8),
+             DenseFeature("d0")]
+    model = MMOE(feats, 2, n_expert=2, expert_params={"dims": [8]},
+                 tower_params={"dims": [4]})
+    tr = CTRTrainer(model, sparse_embedding_updates=True,
+                    sparse_update_impl="sorted", sorted_block_rows=64,
+                    sorted_dtype="bf16", seed=3)
+    rng = np.random.default_rng(0)
+    b = 16
+    x = {"s0": jnp.asarray(rng.integers(0, 40, b).astype(np.int32)),
+         "d0": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+         "domain_indicator": jnp.asarray(
+             rng.integers(0, 2, b).astype(np.int32))}
+    y = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+    w = jnp.ones((b,), jnp.float32)
+    for _ in range(3):
+        tr.params, tr.opt_state, tr.state, loss = tr._train_step(
+            tr.params, tr.opt_state, tr.state, x, y, w,
+            jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    p = tr._params_for_eval()
+    assert p["embedding"]["packed"].dtype == jnp.float32
+    assert tr.opt_state["emb"]["table"].dtype == jnp.bfloat16
