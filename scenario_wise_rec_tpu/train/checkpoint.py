@@ -27,8 +27,22 @@ def _flatten(tree) -> Dict[str, Any]:
 
 
 def save(path: str, tree, metadata: Dict[str, Any] | None = None) -> None:
-    """Save a pytree (+ JSON-able metadata) to ``path`` (.npz appended)."""
+    """Save a pytree (+ JSON-able metadata) to ``path`` (.npz appended).
+
+    bfloat16 leaves (e.g. the sorted impl's ``sorted_dtype="bf16"``
+    authority tiles) are stored as raw uint16 bits with their keys listed
+    in ``__bf16__`` — ``np.savez`` would otherwise persist ml_dtypes
+    bfloat16 as an opaque void dtype that cannot round-trip."""
+    import ml_dtypes
+
     flat = _flatten(tree)
+    bf16_keys = []
+    for k, v in list(flat.items()):
+        if v.dtype == ml_dtypes.bfloat16:
+            flat[k] = v.view(np.uint16)
+            bf16_keys.append(k)
+    flat["__bf16__"] = np.frombuffer(
+        json.dumps(bf16_keys).encode(), dtype=np.uint8)
     flat["__metadata__"] = np.frombuffer(
         json.dumps(metadata or {}).encode(), dtype=np.uint8
     )
@@ -51,13 +65,19 @@ def load(path: str, example_tree):
     """Restore ``(tree, metadata)``; shapes validated against example_tree."""
     if not path.endswith(".npz") and not os.path.exists(path):
         path = path + ".npz"
+    import ml_dtypes
+
     with np.load(path) as data:
         meta = json.loads(bytes(data["__metadata__"]).decode()) if "__metadata__" in data else {}
+        bf16 = set(json.loads(bytes(data["__bf16__"]).decode())) \
+            if "__bf16__" in data else set()
         leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(example_tree)
         new_leaves = []
         for p, leaf in leaves_paths:
             key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
             arr = data[key]
+            if key in bf16:
+                arr = arr.view(ml_dtypes.bfloat16)
             assert arr.shape == np.shape(leaf), (
                 f"checkpoint leaf {key}: shape {arr.shape} != expected {np.shape(leaf)}"
             )

@@ -329,3 +329,42 @@ def test_trainer_sorted_bf16_smoke():
     p = tr._params_for_eval()
     assert p["embedding"]["packed"].dtype == jnp.float32
     assert tr.opt_state["emb"]["table"].dtype == jnp.bfloat16
+
+
+def test_bf16_checkpoint_roundtrip(tmp_path):
+    """bf16 authority tiles survive save/load (npz stores bfloat16 as raw
+    uint16 bits + a key list; train/checkpoint.py)."""
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    feats = [SparseFeature("s0", vocab_size=40, embed_dim=8),
+             DenseFeature("d0")]
+
+    def make():
+        model = MMOE(feats, 2, n_expert=2, expert_params={"dims": [8]},
+                     tower_params={"dims": [4]})
+        return CTRTrainer(model, sparse_embedding_updates=True,
+                          sparse_update_impl="sorted", sorted_block_rows=64,
+                          sorted_dtype="bf16", seed=3)
+
+    tr = make()
+    rng = np.random.default_rng(0)
+    b = 16
+    x = {"s0": jnp.asarray(rng.integers(0, 40, b).astype(np.int32)),
+         "d0": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+         "domain_indicator": jnp.asarray(
+             rng.integers(0, 2, b).astype(np.int32))}
+    y = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+    w = jnp.ones((b,), jnp.float32)
+    tr.params, tr.opt_state, tr.state, _ = tr._train_step(
+        tr.params, tr.opt_state, tr.state, x, y, w, jax.random.PRNGKey(1))
+    tr.save(str(tmp_path / "ck"))
+    tr2 = make()
+    tr2.load(str(tmp_path / "ck"))
+    assert tr2.opt_state["emb"]["mu"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(tr2.opt_state["emb"]["mu"].astype(jnp.float32)),
+        np.asarray(tr.opt_state["emb"]["mu"].astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(tr2._params_for_eval()["embedding"]["packed"]),
+        np.asarray(tr._params_for_eval()["embedding"]["packed"]))
