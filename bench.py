@@ -184,10 +184,14 @@ def _make_trainer(vocab, sparse, impl):
                                                      "step"))
 
 
-def _measure_device_only(vocab, sparse, impl, stage_prefix=""):
+def _measure_device_only(vocab, sparse, impl, stage_prefix="",
+                         measure=True):
     """Compile + time the jitted train step at one shape.
 
-    Returns (examples_per_s, compile_s, trainer, per_call)."""
+    ``measure=False`` stops after compile + calibration (E2E mode only
+    needs the compiled trainer — the timed loop would burn the budget
+    for a number that gets discarded). Returns
+    (examples_per_s, compile_s, trainer, per_call)."""
     import jax
     import jax.numpy as jnp
 
@@ -236,6 +240,8 @@ def _measure_device_only(vocab, sparse, impl, stage_prefix=""):
     sync(loss)
     per_call = time.perf_counter() - t_c
     budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
+    if not measure:
+        return 0.0, compile_s, trainer, per_call
     n_calls = max(3, min(n_calls, int(budget / max(per_call, 1e-4))))
     _progress(f"calibrated {per_call * 1e3:.1f} ms/dispatch -> "
               f"{n_calls} timed dispatches")
@@ -319,7 +325,7 @@ def main():
         time.sleep(test_stall)
 
     eps, compile_s, trainer, per_call = _measure_device_only(
-        VOCAB, SPARSE, SPARSE_IMPL)
+        VOCAB, SPARSE, SPARSE_IMPL, measure=not E2E)
     if E2E:
         budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
         n_examples, dt = _bench_e2e(trainer, budget)

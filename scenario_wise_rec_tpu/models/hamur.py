@@ -140,13 +140,13 @@ class _Hamur(Model):
         uses (ops/pallas/hamur_infer.py), so the fused-vs-XLA eval diff is
         tile-order only instead of being amplified through the chained
         batch-stat domain norms (PROFILE.md round-3 hamurlarge 3.5e-2)."""
-        p = jnp.einsum("bf,fi->bi", h, a["u_down"])
-        q = jnp.einsum("bi,bij->bj", p, hyper_out)
-        t = jax.nn.sigmoid(jnp.einsum("bj,jn->bn", q, a["v_down"])
-                           + a["b_down"])
-        p = jnp.einsum("bf,fi->bi", t, a["u_up"])
-        q = jnp.einsum("bi,bij->bj", p, hyper_out)
-        t = jnp.einsum("bj,jn->bn", q, a["v_up"]) + a["b_up"]
+        ein = compute_config.einsum  # bf16 compute mode covers these
+        p = ein("bf,fi->bi", h, a["u_down"])
+        q = ein("bi,bij->bj", p, hyper_out)
+        t = jax.nn.sigmoid(ein("bj,jn->bn", q, a["v_down"]) + a["b_down"])
+        p = ein("bf,fi->bi", t, a["u_up"])
+        q = ein("bi,bij->bj", p, hyper_out)
+        t = ein("bj,jn->bn", q, a["v_up"]) + a["b_up"]
         t = domain_norm(t, a["gamma"], a["beta"], eps=1e-5, unbiased=True,
                         w=w)
         return t + h

@@ -22,6 +22,10 @@ def auc_score(y_true, y_score) -> float:
     """Binary ROC-AUC via average ranks (ties handled like sklearn)."""
     y_true = np.asarray(y_true, dtype=np.float64).ravel()
     y_score = np.asarray(y_score, dtype=np.float64).ravel()
+    if np.isnan(y_score).any():
+        # sklearn raises on NaN input; fail loud instead of silently
+        # averaging a NaN tie group (np.unique collapses NaNs)
+        raise ValueError("Input contains NaN.")
     n_pos = float(np.sum(y_true == 1))
     n_neg = float(len(y_true) - n_pos)
     if n_pos == 0 or n_neg == 0:

@@ -214,6 +214,12 @@ class CTRTrainer:
             from ..ops.pallas import fused_inference_auto
 
             fused_inference = fused_inference_auto(model)
+        elif not isinstance(fused_inference, bool):
+            # a stray string like "false"/"off" would otherwise coerce to
+            # True and force fused eval on models where it measured slower
+            raise ValueError(
+                f"fused_inference must be True, False or 'auto', got "
+                f"{fused_inference!r}")
         self._fused_inference = bool(fused_inference)
         self._donate_buffers = bool(donate_buffers)
         self.scan_steps = max(1, int(scan_steps))
@@ -839,10 +845,23 @@ class CTRTrainer:
         if on_device:
             y, p, _, w = self._predict_loader_device(data_loader)
             m = w > 0
+            self._check_two_classes(y, m)
             return (float(auc_score_device(y, p, m)),
                     float(log_loss_device(y, p, m)))
         y, p, _, _ = self._predict_loader(data_loader)
         return auc_score(y, p), log_loss_score(y, p)
+
+    @staticmethod
+    def _check_two_classes(y, m):
+        """Device-path parity with the host AUC's fail-loud behavior: a
+        single-class subset would silently divide by zero on device."""
+        n_pos = float(jnp.sum(y * m))
+        n = float(jnp.sum(m))
+        if n_pos == 0 or n_pos == n:
+            raise ValueError(
+                "Only one class present in y_true. ROC AUC score is not "
+                "defined."
+            )
 
     def evaluate_multi_domain_loss(self, model, data_loader, domain_num: int,
                                    on_device: bool = False):
@@ -862,6 +881,8 @@ class CTRTrainer:
             for dom in range(domain_num):
                 if counts[dom] > 0:
                     m = (d == dom) & keep
+                    # match the host path: single-class domains raise
+                    self._check_two_classes(y, m)
                     domain_logloss_list.append(
                         float(log_loss_device(y, p, m)))
                     domain_auc_list.append(float(auc_score_device(y, p, m)))
@@ -870,6 +891,8 @@ class CTRTrainer:
                     domain_auc_list.append(None)
             any_rows = bool(counts.sum() > 0) or bool(
                 float(jnp.sum(keep)) > 0)
+            if any_rows:
+                self._check_two_classes(y, keep)
             total_logloss = (float(log_loss_device(y, p, keep))
                              if any_rows else None)
             total_auc = (float(auc_score_device(y, p, keep))

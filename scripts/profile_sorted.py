@@ -5,12 +5,16 @@ update (467k vocab/feature -> packed [10.74M, 16], K = 23*4096 ids),
 each scan-amortized like the bench, so the per-dispatch overhead is
 shared out identically:
 
-  sort      per-owner batched sort_key_val (+ position payload)
-  reorder   sort + g_rows gather into sorted order
-  prep      reorder + G2 lane-dispersal + rv + searchsorted + work list
-  kernel    prep + the pallas work-item-grid kernel (full update)
-  gather    the forward's packed_row_gather alone
-  full      one real CTRTrainer sorted train step (bench parity check)
+  sort+reorder       per-owner batched sorts + gradient reorder
+  fwd_packed_gather  the forward's packed row gather alone
+  update_full        KNOWN-INVALID standalone reading: isolating the
+                     pallas update in its own scan measures 150-300
+                     ms/step (XLA fails to alias the 2 GB carry buffers
+                     through the pallas_call in this harness), while the
+                     real trainer step containing the same update
+                     measures 8.17 ms end-to-end (bench.py) — derive the
+                     update's cost by subtraction from the real step,
+                     never from this stage (PROFILE.md SS5 does).
 
 Usage: python profile_sorted.py   (TPU; one program per stage, warm-cache
 friendly; SWR_VOCAB/SWR_BATCH/SWR_SCAN as bench.py)
@@ -92,7 +96,11 @@ def main():
         return c + gs[0, :8] + sid[:8].astype(jnp.float32)
 
     def gather_body(c):
-        rows = packed_row_gather(state["table"] + c[0] * 0.0, ids, d)
+        # carry dependence rides the IDS (O(K)): adding c to the TABLE
+        # would add a full O(V) elementwise pass to every iteration and
+        # contaminate the gather timing
+        ids_c = ids + (c[:1] * 0.0).astype(jnp.int32)[0]
+        rows = packed_row_gather(state["table"], ids_c, d)
         return c + rows[0, :8]
 
     def kernel_body(carry):
