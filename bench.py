@@ -180,6 +180,8 @@ def _make_trainer(vocab, sparse, impl):
                       sorted_reorder=os.environ.get("SWR_SORTED_REORDER",
                                                     "gather"),
                       sorted_dtype=os.environ.get("SWR_SORTED_DTYPE") or None,
+                      sorted_precision=os.environ.get(
+                          "SWR_SORTED_PRECISION") or None,
                       resident_gather=os.environ.get("SWR_RESIDENT_GATHER",
                                                      "step"))
 

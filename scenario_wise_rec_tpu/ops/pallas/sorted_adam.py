@@ -70,7 +70,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(rbp: int,
+def _kernel(rbp: int, precision: str,
             hp_ref, wb_ref, wc_ref, first_ref, emit_ref,
             rv_ref, g2_ref, tbl_ref, mu_ref, nu_ref,
             tbl_out, mu_out, nu_out, acc):
@@ -94,8 +94,29 @@ def _kernel(rbp: int,
     iota = jax.lax.broadcasted_iota(jnp.int32, (rbp, 128), 0)
     # one-hot [rbp, 128]: sublane hit iff this id's packed row is in-block
     eq = (rv_ref[0] - base) == iota
-    acc[...] += jnp.dot(eq.astype(jnp.float32), g2_ref[...],
-                        preferred_element_type=jnp.float32)
+    # The one-hot segment-sum's precision is a measured 3-way tradeoff on
+    # chip at the 467k/b4096 shape (all vs the exact XLA scatter-add ref):
+    #   "fast"    one default-precision pass — grads rounded to bf16,
+    #             ~2e-3 drift, 501k ex/s
+    #   "split"   gradient operand as a bf16 hi/lo pair (products are
+    #             EXACT 1.0 x bf16, f32 accumulation; residual ~2^-18
+    #             relative from the lo remainder's second rounding) —
+    #             ~3e-6 drift, 430k ex/s. DEFAULT for f32 storage.
+    #   "highest" 6-pass exact decomposition — exact to f32, 409k ex/s
+    g2 = g2_ref[...]
+    if precision == "fast":
+        acc[...] += jnp.dot(eq.astype(g2.dtype), g2,
+                            preferred_element_type=jnp.float32)
+    elif precision == "highest":
+        acc[...] += jnp.dot(eq.astype(jnp.float32), g2,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    else:
+        hi = g2.astype(jnp.bfloat16)
+        lo = (g2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        eqb = eq.astype(jnp.bfloat16)
+        acc[...] += (jnp.dot(eqb, hi, preferred_element_type=jnp.float32)
+                     + jnp.dot(eqb, lo, preferred_element_type=jnp.float32))
 
     @pl.when(emit_ref[i] == 1)
     def _():
@@ -233,6 +254,7 @@ def owner_sorted_grads(ids, g_rows, segments, offsets,
 
 def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
                             *, block_rows: int = 8192,
+                            precision: str | None = None,
                             interpret: bool | None = None):
     """One fused dense-Adam pass (see module docstring).
 
@@ -255,6 +277,11 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if precision is None:
+        # bf16 storage already quantizes to 8-bit mantissa every step —
+        # the fast path's operand rounding is immaterial there
+        precision = "fast" if table.dtype == jnp.bfloat16 else "split"
+    assert precision in ("fast", "split", "highest"), precision
     assert 128 % d == 0, f"sorted_dense_adam requires d | 128, got {d}"
     r = 128 // d
     v2 = table.shape[0] * r
@@ -273,14 +300,20 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         g_sorted = jnp.pad(g_sorted, ((0, kpad), (0, 0)))
     kc = (k + kpad) // 128
 
-    # lane-dispersed grads: row k's D values at lane group (id % r) * D
+    # lane-dispersed grads: row k's D values at lane group (id % r) * D —
+    # a one-hot einsum at HIGHEST precision (exact; its ~24 MFLOP are
+    # trivial). A default-precision einsum rounds the f32 gradients to
+    # bf16; the matmul-free masked-select/concat formulation is exact but
+    # measured ~1.7 ms SLOWER at the production shape (501k -> 429k ex/s
+    # — narrow-column concat relayouts beat the MXU pass it avoids).
     if r == 1:
         g2 = g_sorted
     else:
         oh = (sorted_ids[:, None] % r
               == jax.lax.broadcasted_iota(jnp.int32, (1, r), 1))
-        g2 = jnp.einsum("kr,kd->krd", oh.astype(g_sorted.dtype), g_sorted,
-                        preferred_element_type=jnp.float32
+        g2 = jnp.einsum("kr,kd->krd", oh.astype(g_sorted.dtype),
+                        g_sorted, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST
                         ).astype(g_sorted.dtype).reshape(kc * 128, 128)
     rv = (sorted_ids // r).astype(jnp.int32).reshape(kc, 1, 128)
 
@@ -311,7 +344,7 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, rbp),
+        functools.partial(_kernel, rbp, precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(w,),

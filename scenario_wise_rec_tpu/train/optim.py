@@ -430,6 +430,7 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
                              eps: float = 1e-8,
                              block_rows: int = 8192,
                              reorder: str = "gather",
+                             precision: str | None = None,
                              use_pallas: bool | None = None,
                              frozen_spans=()):
     """EXACT dense torch-Adam via the chunk-vectorized sorted streaming
@@ -504,7 +505,7 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
                                               offsets, reorder=reorder)
     return _out(*sorted_dense_adam_apply(
         table, mu, nu, sorted_ids, g_sorted, hp, d, block_rows=block_rows,
-        interpret=jax.default_backend() != "tpu"))
+        precision=precision, interpret=jax.default_backend() != "tpu"))
 
 
 def step_lr(step_size: int, gamma: float):

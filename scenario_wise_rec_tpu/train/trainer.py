@@ -86,6 +86,7 @@ class CTRTrainer:
         sorted_reorder: str = "gather",
         sorted_block_rows: int = 8192,
         sorted_dtype: Optional[str] = None,
+        sorted_precision: Optional[str] = None,
         resident_gather: str = "step",
     ):
         self.model = model
@@ -145,6 +146,12 @@ class CTRTrainer:
         assert sorted_dtype in (None, "bf16", "float32"), sorted_dtype
         self._sorted_dtype = (jnp.bfloat16 if sorted_dtype == "bf16"
                               else None)
+        # segment-sum matmul precision inside the sorted kernel:
+        # None -> "split" for f32 storage, "fast" for bf16 storage
+        # (measured tradeoff table in ops/pallas/sorted_adam._kernel)
+        assert sorted_precision in (None, "fast", "split", "highest"), \
+            sorted_precision
+        self._sorted_precision = sorted_precision
         # frozen pretrained tables (Pretrained(freeze=True), reference
         # basic/initializers.py:76-92): static packed spans + loose names
         # from the feature list; every update path masks them
@@ -441,6 +448,7 @@ class CTRTrainer:
                     collection.packed_dim,
                     block_rows=self._sorted_block_rows,
                     reorder=self._sorted_reorder,
+                    precision=self._sorted_precision,
                     use_pallas=False if self.mesh is not None else None,
                     **adam_kw,
                 )
