@@ -32,6 +32,10 @@ Modes (env vars, default = full-parity f32, both shapes):
   SWR_PROD_IMPL=M   impl for the production measurement (default sorted —
                     the chunk-vectorized exact-dense streaming kernel,
                     ops/pallas/sorted_adam.py)
+  SWR_PROD_BIG=0    skip the third measurement: the production vocab at the
+                    DOCUMENTED production batch (SWR_PROD_BIG_BATCH,
+                    default 16384 — the batch-scaling lever of PROFILE.md
+                    SS5, reported as ``prod_vocab_b16384``; VERDICT r4 #8)
   SWR_BF16=1        bf16 matmul inputs, f32 accumulation
   SWR_VOCAB=N       primary per-feature vocab (default 20000)
   SWR_BATCH=N       batch size (default 4096)
@@ -63,7 +67,7 @@ by scripts/measure_torch_baseline.py.
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
  "compile_s": ..., "prod_vocab": {"vocab": V, "impl": ..., "value": M,
- "unit": ..., "compile_s": ...}}
+ "unit": ..., "compile_s": ...}, "prod_vocab_b16384": {..., "batch": 16384}}
 """
 
 import json
@@ -147,20 +151,23 @@ E2E = os.environ.get("SWR_E2E", "0") == "1"
 PROD = os.environ.get("SWR_PROD", "1") == "1" and not E2E
 PROD_VOCAB = int(os.environ.get("SWR_PROD_VOCAB", 467_000))
 PROD_IMPL = os.environ.get("SWR_PROD_IMPL", "sorted")
+PROD_BIG = os.environ.get("SWR_PROD_BIG", "1") == "1" and PROD
+PROD_BIG_BATCH = int(os.environ.get("SWR_PROD_BIG_BATCH", 16384))
 
 
-def _make_batch(vocab):
+def _make_batch(vocab, batch=None):
     import jax.numpy as jnp
 
+    batch = BATCH if batch is None else batch
     rng = np.random.default_rng(0)
-    x = {f"s{i}": jnp.asarray(rng.integers(0, vocab, BATCH).astype(np.int32))
+    x = {f"s{i}": jnp.asarray(rng.integers(0, vocab, batch).astype(np.int32))
          for i in range(N_SPARSE)}
-    x.update({f"d{i}": jnp.asarray(rng.normal(size=BATCH).astype(np.float32))
+    x.update({f"d{i}": jnp.asarray(rng.normal(size=batch).astype(np.float32))
               for i in range(N_DENSE)})
     x["domain_indicator"] = jnp.asarray(
-        rng.integers(0, DOMAINS, BATCH).astype(np.int32))
-    y = jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32))
-    w = jnp.ones((BATCH,), jnp.float32)
+        rng.integers(0, DOMAINS, batch).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, 2, batch).astype(np.float32))
+    w = jnp.ones((batch,), jnp.float32)
     return x, y, w
 
 
@@ -187,22 +194,24 @@ def _make_trainer(vocab, sparse, impl):
 
 
 def _measure_device_only(vocab, sparse, impl, stage_prefix="",
-                         measure=True):
+                         measure=True, batch=None):
     """Compile + time the jitted train step at one shape.
 
     ``measure=False`` stops after compile + calibration (E2E mode only
     needs the compiled trainer — the timed loop would burn the budget
-    for a number that gets discarded). Returns
+    for a number that gets discarded). ``batch`` overrides the global
+    BATCH (the prod_vocab_b16384 measurement). Returns
     (examples_per_s, compile_s, trainer, per_call)."""
     import jax
     import jax.numpy as jnp
 
+    batch = BATCH if batch is None else batch
     _set_stage(stage_prefix + "init_params")
     _progress(f"{stage_prefix or 'primary '}init (vocab={vocab}, "
-              f"sparse={sparse}, impl={impl})")
+              f"sparse={sparse}, impl={impl}, batch={batch})")
     trainer = _make_trainer(vocab, sparse, impl)
     params, opt_state, state = trainer.params, trainer.opt_state, trainer.state
-    x, y, w = _make_batch(vocab)
+    x, y, w = _make_batch(vocab, batch)
 
     if SCAN > 1:
         xs = {k: jnp.broadcast_to(v, (SCAN,) + v.shape) for k, v in x.items()}
@@ -221,7 +230,7 @@ def _measure_device_only(vocab, sparse, impl, stage_prefix="",
 
     key = jax.random.PRNGKey(1)
     _set_stage(stage_prefix + "compiling")
-    _progress(f"compiling (backend={jax.default_backend()}, batch={BATCH}, "
+    _progress(f"compiling (backend={jax.default_backend()}, batch={batch}, "
               f"vocab={vocab}, scan={SCAN}; cold remote compiles take "
               "minutes, warm persistent cache seconds)")
     t_c = time.perf_counter()
@@ -254,7 +263,7 @@ def _measure_device_only(vocab, sparse, impl, stage_prefix="",
         params, opt_state, state, loss = step(params, opt_state, state, k)
     sync(loss)
     dt = time.perf_counter() - t0
-    eps = n_calls * (SCAN if SCAN > 1 else 1) * BATCH / dt
+    eps = n_calls * (SCAN if SCAN > 1 else 1) * batch / dt
     return eps, compile_s, trainer, per_call
 
 
@@ -298,6 +307,7 @@ def _bench_e2e(trainer, budget):
     with contextlib.redirect_stdout(sys.stderr):
         t0 = time.perf_counter()
         trainer.train_one_epoch(loader, log_interval=10**9)  # warm the path
+        trainer.barrier()   # resident epochs defer the end-of-epoch fetch
         epoch_est = max(time.perf_counter() - t0, 1e-3)
         n_epochs = max(1, min(50, int(budget / epoch_est)))
         _progress(f"e2e: {rows} rows/epoch ({n_disp} scanned dispatches, "
@@ -305,6 +315,7 @@ def _bench_e2e(trainer, budget):
         t0 = time.perf_counter()
         for _ in range(n_epochs):
             trainer.train_one_epoch(loader, log_interval=10**9)
+        trainer.barrier()   # real fetch: waits for the last dispatch
         dt = time.perf_counter() - t0
     return n_epochs * rows, dt
 
@@ -345,6 +356,24 @@ def main():
             "compile_s": round(prod_compile_s, 1),
         }
 
+    prod_big = None
+    if PROD_BIG:
+        # the documented production configuration: same vocab/impl at the
+        # batch the batch-scaling lever recommends (PROFILE.md SS5;
+        # VERDICT r4 #8 — the driver artifact should carry it, not only
+        # the b4096 floor)
+        big_eps, big_compile_s, _, _ = _measure_device_only(
+            PROD_VOCAB, True, PROD_IMPL, stage_prefix="prod_big_",
+            batch=PROD_BIG_BATCH)
+        prod_big = {
+            "vocab": PROD_VOCAB,
+            "impl": PROD_IMPL,
+            "batch": PROD_BIG_BATCH,
+            "value": round(big_eps, 1),
+            "unit": "examples/s/chip",
+            "compile_s": round(big_compile_s, 1),
+        }
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     vs = None
@@ -365,6 +394,8 @@ def main():
     }
     if prod is not None:
         payload["prod_vocab"] = prod
+    if prod_big is not None:
+        payload[f"prod_vocab_b{PROD_BIG_BATCH}"] = prod_big
     with _emit_lock:
         print(json.dumps(payload))
 

@@ -42,17 +42,30 @@ Mechanism (all static shapes, zero scatters, zero per-id scalar work):
    auto-pipelined BlockSpecs — no manual DMA, no semaphores.
 
 Empty vocab blocks get one masked work item (their one-hot matches
-nothing) so dense decay still reaches every row; surplus work items target
-a dedicated PAD block appended after the real vocab (real ids can never
-match it). The authority arrays live PADDED to ``(nb + 1) * block_rows``
-rows AND in the packed ``[V2/r, 128]`` tile layout for the whole training
-run (train/optim.py:sorted_dense_adam_init): padding per step would cost
-O(V) copies, and reshaping ``[V2/r, 128] <-> [V2, D]`` inside the jitted
-step is fatal — XLA implements that reshape bitcast-free by giving the
-``[V2, D]`` side a padded ``T(8,128)`` layout, an 8x-expanded 5.13 GB
-allocation PER ARRAY at the 10.7M-row production scale (measured OOM:
-17.4 G of 15.75 G HBM). The forward's row gather reads the packed tiles
-directly (:func:`packed_row_gather`).
+nothing) so dense decay still reaches every row; surplus work items point
+at a SENTINEL id chunk appended after the real chunks (all ids = ``v2``,
+out of range for every block, gradients zero) and are clipped onto the
+last real block, whose single emit simply moves to the final surplus item
+with an unchanged accumulator. The authority arrays live PADDED to
+``nb * block_rows`` rows AND in the packed ``[V2/r, 128]`` tile layout
+for the whole training run (train/optim.py:sorted_dense_adam_init):
+padding per step would cost O(V) copies, and reshaping ``[V2/r, 128] <->
+[V2, D]`` inside the jitted step is fatal — XLA implements that reshape
+bitcast-free by giving the ``[V2, D]`` side a padded ``T(8,128)`` layout,
+an 8x-expanded 5.13 GB allocation PER ARRAY at the 10.7M-row production
+scale (measured OOM: 17.4 G of 15.75 G HBM). The forward's row gather
+reads the packed tiles directly (:func:`packed_row_gather`).
+
+**Row-sharded meshes** (:func:`sorted_dense_adam_apply_sharded`): the
+per-owner sort structure maps directly onto shard ownership — globally
+sorted ids fall into each shard's contiguous row range as a contiguous
+span, so every device runs this same kernel on its own
+``[V2/(r·n_embed), 128]`` authority shard with the ids re-based to its
+local frame; out-of-shard ids mask themselves exactly like out-of-block
+ids (their packed row misses every block's sublane range). The
+sentinel-chunk scheme (not a trailing pad block) is what makes each
+contiguous shard self-contained. ``sorted_dense_adam_init(n_shards=...)``
+rounds the block count up to the shard count so shards split evenly.
 
 The reference framework has no counterpart (dense torch-Adam over
 ``nn.Embedding.weight``, basic/layers.py:51-62 + ctr_trainer.py:50-52);
@@ -141,16 +154,18 @@ def _kernel(rbp: int, precision: str,
         nu_out[...] = nu.astype(out_dt)
 
 
-def pack_rows(a, block_rows: int):
-    """``[V, D] -> ([V2/r, 128], v)`` packed-tile layout with the pad block
-    appended (see module docstring). EAGER-use only (init/checkpoint
-    adoption): inside a jitted step the reshape materializes the padded
-    T(8,128) layout."""
+def pack_rows(a, block_rows: int, n_shards: int = 1):
+    """``[V, D] -> [V2/r, 128]`` packed-tile layout, padded to whole vocab
+    blocks (``V2 = nb * block_rows`` with ``nb`` rounded up to a multiple
+    of ``n_shards`` so a row-sharded mesh splits into whole blocks).
+    EAGER-use only (init/checkpoint adoption): inside a jitted step the
+    reshape materializes the padded T(8,128) layout."""
     v, d = a.shape
     assert 128 % d == 0, f"packed tile layout requires d | 128, got {d}"
     r = 128 // d
     nb = -(-v // block_rows)
-    pad = (nb + 1) * block_rows - v
+    nb = -(-nb // n_shards) * n_shards
+    pad = nb * block_rows - v
     full = jnp.concatenate([a, jnp.zeros((pad, d), a.dtype)])
     return full.reshape(full.shape[0] // r, 128)
 
@@ -260,12 +275,14 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
 
     Args:
         table, mu, nu: ``[V2/r, 128]`` f32 PACKED tiles, pre-padded to
-            ``V2 = (nb + 1) * block_rows`` logical rows (``pack_rows`` /
-            ``sorted_dense_adam_init``) — the last block is the
-            surplus-work-item dump; real ids must be
-            ``< nb * block_rows``. Kept packed end-to-end: see the module
-            docstring's layout-OOM note.
-        sorted_ids: ``[K]`` int32, globally ascending (owner_sorted_grads).
+            ``V2 = nb * block_rows`` logical rows (``pack_rows`` /
+            ``sorted_dense_adam_init``). Kept packed end-to-end: see the
+            module docstring's layout-OOM note.
+        sorted_ids: ``[K]`` int32, ascending (owner_sorted_grads). Ids
+            OUTSIDE ``[0, V2)`` are allowed and contribute nothing (their
+            packed row matches no block's sublane range) — the sharded
+            path passes every shard the full id list re-based to its
+            local frame.
         g_sorted: ``[K, D]`` gradient rows aligned with sorted_ids
             (duplicates allowed — they sum in the accumulator, exactly
             like autodiff's scatter-add).
@@ -275,6 +292,13 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
 
     Returns ``(new_table, new_mu, new_nu)`` packed, same shapes.
     """
+    # K == 0 would give kc == 0, and the work-list clip jnp.clip(wc, 0, kc-1)
+    # would aim the rv/g2 BlockSpecs at block -1 (out-of-bounds reads).
+    # Callers (optim.sorted_dense_adam_update) route empty batches to the
+    # XLA reference path; fail loud at the public kernel entry (ADVICE r4).
+    assert sorted_ids.shape[0] > 0, (
+        "sorted_dense_adam_apply requires at least one id; route empty "
+        "batches to the XLA reference path (fused_dense_adam_ref)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if precision is None:
@@ -287,16 +311,19 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
     v2 = table.shape[0] * r
     assert table.shape[1] == 128, table.shape
     assert block_rows % r == 0 and v2 % block_rows == 0, (block_rows, v2)
-    nb = v2 // block_rows - 1          # real blocks; block nb is the dump
-    assert nb >= 1, "need at least one real vocab block"
+    nb = v2 // block_rows              # every block is real vocab
+    assert nb >= 1, "need at least one vocab block"
     rbp = block_rows // r
 
     k = sorted_ids.shape[0]
     kpad = (-k) % 128
     if kpad:
-        # sentinel = first pad-block row: beyond every real block's range
-        sorted_ids = jnp.pad(sorted_ids, (0, kpad),
-                             constant_values=nb * block_rows)
+        # sentinel = v2: beyond every block's range. Real ids ABOVE v2 may
+        # exist in the sharded path (later shards' rows) — the sentinel
+        # tail then breaks strict global sortedness, but searchsorted
+        # below only probes bounds <= v2, where the >=-predicate is still
+        # monotone (everything past the in-range prefix is >= v2).
+        sorted_ids = jnp.pad(sorted_ids, (0, kpad), constant_values=v2)
         g_sorted = jnp.pad(g_sorted, ((0, kpad), (0, 0)))
     kc = (k + kpad) // 128
 
@@ -315,11 +342,19 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
                         g_sorted, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST
                         ).astype(g_sorted.dtype).reshape(kc * 128, 128)
-    rv = (sorted_ids // r).astype(jnp.int32).reshape(kc, 1, 128)
+    # one extra SENTINEL chunk (ids = v2, grads = 0) as the surplus work
+    # items' target: guaranteed-no-match against every block, so the last
+    # real block's accumulator survives surplus items untouched and its
+    # emit simply moves to the final work item
+    g2 = jnp.concatenate([g2, jnp.zeros((128, 128), g2.dtype)])
+    rv = jnp.concatenate([(sorted_ids // r).astype(jnp.int32),
+                          jnp.full((128,), v2 // r, jnp.int32)]
+                         ).reshape(kc + 1, 1, 128)
 
-    # work list: for each real block, the id chunks overlapping its span
+    # work list: for each vocab block, the id chunks overlapping its span
     # (>= 1 even when empty, so dense decay reaches every block); surplus
-    # items target the pad block. Static size W = kc + nb.
+    # items aim at the sentinel chunk, clipped onto the last block.
+    # Static size W = kc + nb.
     bounds = jnp.arange(nb + 1, dtype=jnp.int32) * block_rows
     starts = jnp.searchsorted(sorted_ids, bounds).astype(jnp.int32)
     c_lo = starts[:-1] // 128
@@ -330,9 +365,12 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
     iw = jnp.arange(w, dtype=jnp.int32)
     wb = jnp.searchsorted(cum, iw, side="right").astype(jnp.int32)  # [0, nb]
     prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+    surplus = wb >= nb
     safe_b = jnp.clip(wb, 0, nb - 1)
-    wc = jnp.where(wb < nb, c_lo[safe_b] + iw - prev[safe_b], 0)
-    wc = jnp.clip(wc, 0, kc - 1).astype(jnp.int32)
+    wc = jnp.where(surplus, kc,
+                   jnp.clip(c_lo[safe_b] + iw - prev[safe_b], 0, kc - 1)
+                   ).astype(jnp.int32)
+    wb = safe_b                        # surplus items ride the last block
     change = wb[1:] != wb[:-1]
     one = jnp.ones((1,), jnp.int32)
     first = jnp.concatenate([one, change.astype(jnp.int32)])
@@ -366,3 +404,79 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         interpret=interpret,
     )(hp, wb, wc, first, emit, rv, g2, table, mu, nu)
     return tuple(out)
+
+
+def sorted_dense_adam_apply_sharded(mesh, table, mu, nu, ids, g_rows, hp,
+                                    d: int, *, segments, offsets,
+                                    block_rows: int = 8192,
+                                    reorder: str = "gather",
+                                    precision: str | None = None,
+                                    interpret: bool | None = None,
+                                    embed_axis: str = "embed"):
+    """The sorted streaming kernel on a ROW-SHARDED mesh (VERDICT r4 #1).
+
+    ``shard_map`` over the full mesh: the authority tiles enter per-shard
+    (``P(embed_axis, None)`` — each device holds the contiguous row range
+    ``[j·V2/E, (j+1)·V2/E)`` as ``[V2/(r·E), 128]`` packed tiles) while
+    ids/grads enter REPLICATED (``P()`` — jit all-gathers the data-sharded
+    batch quantities at the boundary; each occurrence's cotangent row is
+    already the full value under DP, so duplicates summing inside the
+    kernel accumulator is the complete gradient — no psum needed). Every
+    device then:
+
+    1. runs :func:`owner_sorted_grads` on the full id list (replicated
+       work — the sorts are ~0.4 ms against the shard's streaming cost),
+    2. re-bases the globally sorted ids to its shard frame
+       (``ids - j·V2/E``; the sorted order is preserved and the shard's
+       own rows form a contiguous in-range span), and
+    3. runs :func:`sorted_dense_adam_apply` on its own tiles — out-of-
+       shard ids (negative or past the local ``v2``) match no block's
+       sublane range, exactly like out-of-block ids on one chip.
+
+    Each shard streams only its ``V2/E`` rows: the O(V) HBM floor scales
+    1/E with the embed axis, the collective cost is one [K]-id + one
+    [K, D]-grad all-gather (KB-MB, batch-sized). The computation along
+    ``data`` is identical on every replica, so outputs are valid with
+    ``out_specs`` mentioning only ``embed_axis``.
+
+    Requires ``table.shape[0] % E == 0`` and whole blocks per shard —
+    ``sorted_dense_adam_init(..., n_shards=E)`` guarantees both.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        # follow the MESH's platform, not the default backend: a virtual
+        # CPU mesh can exist under a TPU default backend (dryrun_multichip)
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    e = mesh.shape[embed_axis]
+    r = 128 // d
+    assert table.shape[0] % e == 0, (table.shape, e)
+    vl = (table.shape[0] // e) * r          # logical rows per shard
+    assert vl % block_rows == 0, (
+        f"shards must hold whole vocab blocks: local rows {vl} vs "
+        f"block_rows {block_rows}; init the authority with "
+        f"sorted_dense_adam_init(..., n_shards={e})")
+
+    tspec = P(embed_axis, None)
+
+    # check_vma=False: the varying-mesh-axes checker would require vma
+    # annotations threaded through pallas_call's out_shape (jax refuses
+    # otherwise). The replication claim it would verify is immediate: the
+    # body depends on the mesh position ONLY through axis_index(embed) and
+    # the embed-sharded tiles, so outputs vary over embed exactly as
+    # out_specs declares, and are replicated over data (all inputs enter
+    # data-replicated); the single-vs-mesh equality test pins it.
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(tspec, tspec, tspec, P(), P(None), P()),
+                       out_specs=(tspec, tspec, tspec),
+                       check_vma=False)
+    def upd(tbl_l, mu_l, nu_l, ids_all, g_all, hp_r):
+        sid, gs = owner_sorted_grads(ids_all, g_all, segments, offsets,
+                                     reorder=reorder)
+        j = jax.lax.axis_index(embed_axis)
+        local = sid - j * vl
+        return sorted_dense_adam_apply(
+            tbl_l, mu_l, nu_l, local, gs, hp_r, d, block_rows=block_rows,
+            precision=precision, interpret=interpret)
+
+    return upd(table, mu, nu, ids, g_rows, hp)

@@ -11,7 +11,10 @@ Our equivalent per training mode (CTRTrainer wires all of these):
   zeroes the final updates on frozen packed-table rows and frozen loose
   tables, so the frozen weights are bit-identical after any number of
   steps (weight decay included — it enters the chain as part of the
-  update).
+  update). It ALSO zeroes the inner chain's Adam moments (``mu``/``nu``)
+  on frozen rows after every update: torch keeps NO state for skipped
+  params, and nonzero saved moments would diverge from reference behavior
+  if a checkpoint were resumed with the rows unfrozen (ADVICE r4).
 - lazy row-sparse modes (winner/occurrence): frozen ids are dropped from
   the row write-back (and their moment rows left untouched), matching
   torch's skip-the-param behavior.
@@ -73,6 +76,42 @@ def blend_frozen_rows(old, new, spans):
     return jnp.where(frozen_rows_mask(new.shape[0], spans), old, new)
 
 
+def _zero_frozen_tree(tree, spans, loose_names):
+    """Zero frozen rows/tables of a params-shaped pytree (final updates or
+    Adam moment trees)."""
+    emb = tree.get("embedding") if isinstance(tree, dict) else None
+    if emb is None:
+        return tree
+    emb = dict(emb)
+    if spans and "packed" in emb:
+        keep = ~frozen_rows_mask(emb["packed"].shape[0], spans)
+        emb["packed"] = emb["packed"] * keep
+    if loose_names and "tables" in emb:
+        tables = dict(emb["tables"])
+        for n in loose_names:
+            if n in tables:
+                tables[n] = jnp.zeros_like(tables[n])
+        emb["tables"] = tables
+    return {**tree, "embedding": emb}
+
+
+def _zero_frozen_moments(state, spans, loose_names):
+    """Recurse through an optax chain state and zero frozen rows of every
+    ``ScaleByAdamState``'s moment trees (torch keeps no state for skipped
+    params — see module docstring)."""
+    if isinstance(state, optax.ScaleByAdamState):
+        return state._replace(
+            mu=_zero_frozen_tree(state.mu, spans, loose_names),
+            nu=_zero_frozen_tree(state.nu, spans, loose_names))
+    if isinstance(state, tuple):
+        items = tuple(_zero_frozen_moments(s, spans, loose_names)
+                      for s in state)
+        # namedtuples (e.g. other optax states) rebuild by fields; a plain
+        # tuple (optax.chain state) rebuilds directly
+        return type(state)(*items) if hasattr(state, "_fields") else items
+    return state
+
+
 def freeze_updates(inner: optax.GradientTransformation,
                    spans: Sequence[Tuple[int, int]],
                    loose_names: Sequence[str]) -> optax.GradientTransformation:
@@ -80,9 +119,12 @@ def freeze_updates(inner: optax.GradientTransformation,
 
     Masks the chain's final updates (not the gradients): torch-Adam folds
     weight decay into the update path, so a gradient-only mask would still
-    decay frozen rows. ``spans``: frozen (offset, vocab) ranges of the
-    packed mega-table; ``loose_names``: frozen odd-dim tables under
-    ``params["embedding"]["tables"]``.
+    decay frozen rows. The inner chain's Adam moments are zeroed on frozen
+    rows after each update too (a gradient + decay contribution would
+    otherwise accumulate there, diverging from torch's no-state-at-all on
+    a resume that unfreezes — ADVICE r4). ``spans``: frozen (offset, vocab)
+    ranges of the packed mega-table; ``loose_names``: frozen odd-dim tables
+    under ``params["embedding"]["tables"]``.
     """
     spans = tuple(spans)
     loose_names = tuple(loose_names)
@@ -94,19 +136,8 @@ def freeze_updates(inner: optax.GradientTransformation,
 
     def update(updates, state, params=None):
         updates, state = inner.update(updates, state, params)
-        emb = updates.get("embedding") if isinstance(updates, dict) else None
-        if emb is not None:
-            emb = dict(emb)
-            if spans and "packed" in emb:
-                keep = ~frozen_rows_mask(emb["packed"].shape[0], spans)
-                emb["packed"] = emb["packed"] * keep
-            if loose_names and "tables" in emb:
-                tables = dict(emb["tables"])
-                for n in loose_names:
-                    if n in tables:
-                        tables[n] = jnp.zeros_like(tables[n])
-                emb["tables"] = tables
-            updates = {**updates, "embedding": emb}
+        updates = _zero_frozen_tree(updates, spans, loose_names)
+        state = _zero_frozen_moments(state, spans, loose_names)
         return updates, state
 
     return optax.GradientTransformation(init, update)

@@ -60,11 +60,15 @@ def auc_score_device(y_true, y_score, mask=None):
     Use for large eval sets to avoid host transfers; matches
     :func:`auc_score` to float32 precision. Optional bool/float ``mask``
     restricts the AUC to a subset (e.g. one domain) with STATIC shapes:
-    masked-out entries are pushed below every real score, so subset ranks
-    are global ranks minus the masked count (probabilities live in (0, 1),
-    strictly above the sentinel; entries with score exactly 0 would tie
-    with it — callers pass probabilities, where sklearn would see the same
-    degenerate tie).
+    masked-out entries are pushed to the sentinel score -1.0, below every
+    real score, so subset ranks are global ranks minus the masked count
+    (probabilities live in (0, 1), strictly above the sentinel; a score of
+    exactly -1.0 would tie with it — callers pass probabilities, which
+    cannot).
+
+    NaN scores are NOT detected here (this is a pure traced jnp function);
+    the trainer's device-eval wrappers fail loud on NaN before calling,
+    mirroring the host path (CTRTrainer._check_eval_scores).
     """
     import jax.numpy as jnp
 

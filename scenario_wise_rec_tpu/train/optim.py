@@ -388,31 +388,34 @@ def fused_dense_adam_update(table, opt_state, g_rows, ids, segments,
     return _blend(new_table, new_mu, new_nu)
 
 
-def sorted_dense_adam_init(table, block_rows: int = 8192, dtype=None):
+def sorted_dense_adam_init(table, block_rows: int = 8192, dtype=None,
+                           n_shards: int = 1):
     """Optimizer state for :func:`sorted_dense_adam_update`.
 
-    The authority table + Adam moments live PADDED to
-    ``(nb + 1) * block_rows`` logical rows AND in the packed
-    ``[V2/r, 128]`` tile layout for the whole run: ``nb`` real vocab
-    blocks for the streaming kernel plus one PAD block that absorbs the
-    work-list's surplus items (ops/pallas/sorted_adam.py). Padding or
-    re-laying-out per step instead would cost O(V) copies — and the
-    ``[V2, D]`` shape must NEVER appear inside the jitted step at all:
-    XLA realizes the packed<->plain reshape by giving the [V2, D] side a
-    padded T(8,128) layout, an 8x-expanded allocation that OOMs HBM at
-    production vocab (measured; see ops/pallas/sorted_adam.py). Pad rows
-    stay exactly zero (their gradient and weight-decay term are both
-    zero); eval/save materialize the live ``[V, D]`` table EAGERLY via
-    ``unpack_rows`` (CTRTrainer._params_for_eval).
+    The authority table + Adam moments live PADDED to whole vocab blocks
+    (``nb * block_rows`` logical rows, ``nb`` rounded up to a multiple of
+    ``n_shards`` so a row-sharded mesh splits into whole blocks) AND in
+    the packed ``[V2/r, 128]`` tile layout for the whole run
+    (ops/pallas/sorted_adam.py). Padding or re-laying-out per step
+    instead would cost O(V) copies — and the ``[V2, D]`` shape must NEVER
+    appear inside the jitted step at all: XLA realizes the packed<->plain
+    reshape by giving the [V2, D] side a padded T(8,128) layout, an
+    8x-expanded allocation that OOMs HBM at production vocab (measured;
+    see ops/pallas/sorted_adam.py). Pad rows stay exactly zero (their
+    gradient and weight-decay term are both zero); eval/save materialize
+    the live ``[V, D]`` table EAGERLY via ``unpack_rows``
+    (CTRTrainer._params_for_eval).
 
     ``dtype``: optional storage dtype for the authority tiles — e.g.
     ``jnp.bfloat16`` halves the 6-pass streaming floor (the Adam math
     stays f32 in-kernel; weights AND moments round to bf16 each step —
     a documented deviation, see README's parity ledger).
+
+    ``n_shards``: the mesh's ``embed``-axis size (1 off-mesh).
     """
     from ..ops.pallas.sorted_adam import pack_rows
 
-    packed = pack_rows(table, block_rows)
+    packed = pack_rows(table, block_rows, n_shards=n_shards)
     if dtype is not None:
         packed = packed.astype(dtype)
     return {
@@ -432,6 +435,7 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
                              reorder: str = "gather",
                              precision: str | None = None,
                              use_pallas: bool | None = None,
+                             mesh=None,
                              frozen_spans=()):
     """EXACT dense torch-Adam via the chunk-vectorized sorted streaming
     kernel (ops/pallas/sorted_adam.py) — zero scatters, zero per-id scalar
@@ -452,18 +456,22 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
     ``[V2/r, 128]``, see :func:`sorted_dense_adam_init`).
     ``reorder``: how gradient rows reach sorted order ("gather" |
     "payload", see ops/pallas/sorted_adam.owner_sorted_grads).
-    ``use_pallas=False`` (forced under a partitioned mesh, default on CPU)
-    runs the identical math as one XLA scatter-add + vectorized dense Adam
-    on the unpacked view (free on CPU; on a real-TPU mesh the unpack
-    reshape materializes a padded layout — the kernel path is the TPU
-    path).
+    ``mesh``: pass the trainer's mesh to run the kernel PER SHARD over the
+    row-sharded authority via shard_map
+    (ops/pallas/sorted_adam.sorted_dense_adam_apply_sharded) — the
+    production-default impl keeps its streaming engine when the table is
+    sharded (VERDICT r4 #1). ``use_pallas=False`` (default on CPU) runs
+    the identical math as one XLA scatter-add + vectorized dense Adam on
+    the unpacked view (free on CPU; on a real-TPU mesh the unpack reshape
+    materializes a padded layout — the kernel path is the TPU path).
 
     Returns the new ``opt_state``; live weights =
     ``unpack_rows(state["table"], V, D)``.
     """
     from ..ops.pallas.fused_adam import fused_dense_adam_ref
     from ..ops.pallas.sorted_adam import (owner_sorted_grads,
-                                          sorted_dense_adam_apply)
+                                          sorted_dense_adam_apply,
+                                          sorted_dense_adam_apply_sharded)
 
     table, mu, nu = opt_state["table"], opt_state["mu"], opt_state["nu"]
     t = opt_state["step"] + 1
@@ -501,11 +509,18 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
         return _out(nt.astype(dt).reshape(-1, 128),
                     nm.astype(dt).reshape(-1, 128),
                     nn.astype(dt).reshape(-1, 128))
+    if mesh is not None:
+        # interpret resolves from the MESH's platform inside the wrapper
+        return _out(*sorted_dense_adam_apply_sharded(
+            mesh, table, mu, nu, ids, g_rows, hp, d, segments=segments,
+            offsets=offsets, block_rows=block_rows, reorder=reorder,
+            precision=precision))
+    interpret = jax.default_backend() != "tpu"
     sorted_ids, g_sorted = owner_sorted_grads(ids, g_rows, segments,
                                               offsets, reorder=reorder)
     return _out(*sorted_dense_adam_apply(
         table, mu, nu, sorted_ids, g_sorted, hp, d, block_rows=block_rows,
-        precision=precision, interpret=jax.default_backend() != "tpu"))
+        precision=precision, interpret=interpret))
 
 
 def step_lr(step_size: int, gamma: float):

@@ -87,6 +87,7 @@ class CTRTrainer:
         sorted_block_rows: int = 8192,
         sorted_dtype: Optional[str] = None,
         sorted_precision: Optional[str] = None,
+        sorted_kernel: Optional[bool] = None,
         resident_gather: str = "step",
     ):
         self.model = model
@@ -132,9 +133,14 @@ class CTRTrainer:
         #                  sorts + MXU one-hot block matmuls + full-table
         #                  streaming — zero scatters, zero per-id scalar
         #                  ops, NO parity deviation. The production-vocab
-        #                  throughput winner (PROFILE.md SS3).
-        # Under a mesh each impl runs its pure-XLA formulation (SPMD cannot
-        # partition a pallas_call over the row-sharded table).
+        #                  throughput winner (PROFILE.md SS3). Under a
+        #                  mesh the kernel runs PER SHARD over the row-
+        #                  sharded authority via shard_map
+        #                  (sorted_dense_adam_apply_sharded) — the
+        #                  streaming engine survives sharding.
+        # Under a mesh the dense/winner/occurrence impls run their pure-XLA
+        # formulations (SPMD partitions the scatter-class ops; their Pallas
+        # variants are single-chip-only).
         assert sparse_update_impl in ("dense", "winner", "occurrence",
                                       "sorted"), sparse_update_impl
         self._sparse_impl = sparse_update_impl
@@ -152,6 +158,16 @@ class CTRTrainer:
         assert sorted_precision in (None, "fast", "split", "highest"), \
             sorted_precision
         self._sorted_precision = sorted_precision
+        # sorted-kernel engine selection: None = Pallas kernel on TPU
+        # (single-chip AND mesh via shard_map), XLA formulation elsewhere;
+        # True forces the kernel (interpreter off-TPU — CPU mesh tests);
+        # False forces the XLA formulation.
+        assert sorted_kernel in (None, True, False), sorted_kernel
+        self._sorted_kernel = sorted_kernel
+        # the mesh's embed-axis size: the sorted authority pads its block
+        # count to a multiple of it so shards hold whole blocks
+        self._sorted_shards = int(mesh.shape["embed"]) if mesh is not None \
+            else 1
         # frozen pretrained tables (Pretrained(freeze=True), reference
         # basic/initializers.py:76-92): static packed spans + loose names
         # from the feature list; every update path masks them
@@ -200,7 +216,8 @@ class CTRTrainer:
                 "emb": sorted_dense_adam_init(
                     self.params["embedding"]["packed"],
                     block_rows=self._sorted_block_rows,
-                    dtype=self._sorted_dtype),
+                    dtype=self._sorted_dtype,
+                    n_shards=self._sorted_shards),
             }
             self.params = self._strip_packed(self.params)
         elif self._sparse_emb:
@@ -357,7 +374,8 @@ class CTRTrainer:
         else:
             from ..ops.pallas.sorted_adam import pack_rows
 
-            new_packed = pack_rows(packed, self._sorted_block_rows).astype(
+            new_packed = pack_rows(packed, self._sorted_block_rows,
+                                   n_shards=self._sorted_shards).astype(
                 jnp.asarray(emb["table"]).dtype)
             assert new_packed.shape == jnp.shape(emb["table"]), (
                 new_packed.shape, jnp.shape(emb["table"]))
@@ -449,7 +467,8 @@ class CTRTrainer:
                     block_rows=self._sorted_block_rows,
                     reorder=self._sorted_reorder,
                     precision=self._sorted_precision,
-                    use_pallas=False if self.mesh is not None else None,
+                    use_pallas=self._sorted_kernel,
+                    mesh=self.mesh,
                     **adam_kw,
                 )
                 return (rest, {"base": base_state, "emb": emb_state},
@@ -543,7 +562,28 @@ class CTRTrainer:
 
     # ------------------------------------------------------------------
 
+    def _flush_epoch_log(self):
+        """Print a deferred end-of-epoch loss line (resident epochs defer
+        the final loss fetch so the epoch boundary never blocks on the
+        device — VERDICT r4 #4). This fetch is a REAL device sync: it
+        completes only after the epoch's last dispatch."""
+        d = getattr(self, "_deferred_log", None)
+        if d is None:
+            return
+        self._deferred_log = None
+        done, nb, pending = d
+        mean = float(np.mean([np.mean(np.asarray(l)) for l in pending]))
+        print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
+
+    def barrier(self):
+        """Wait for all enqueued device work via a real fetch
+        (``jax.block_until_ready`` is a no-op on the axon remote platform;
+        fetching the deferred last-dispatch loss is ordered after every
+        prior dispatch on the device stream)."""
+        self._flush_epoch_log()
+
     def train_one_epoch(self, data_loader, log_interval: int = 10):
+        self._flush_epoch_log()
         if isinstance(data_loader, DeviceResidentLoader):
             return self.train_one_epoch_resident(data_loader, log_interval)
         # Losses stay on device until a log boundary: float(loss) every step
@@ -659,6 +699,7 @@ class CTRTrainer:
         host-built batches, so no extra XLA program exists for the tail."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        self._flush_epoch_log()
         s = max(self.scan_steps, 1)
         b = loader.batch_size
         nb = len(loader)
@@ -729,8 +770,13 @@ class CTRTrainer:
             pending.append(loss)
             done += 1
         if pending:
-            mean = float(np.mean([np.mean(np.asarray(l)) for l in pending]))
-            print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
+            # DEFER the final loss fetch (losses stay on device): fetching
+            # here would make the epoch boundary wait for the last dispatch
+            # before epoch N+1's uploads could even start — measured as THE
+            # residual E2E gap (PROFILE.md SS4). The line prints at the
+            # next trainer entry point (_flush_epoch_log), whose fetch
+            # doubles as the real barrier.
+            self._deferred_log = (done, nb, pending)
 
     def _scan_producer(self, data_loader):
         """Group the loader into ``("scan", stacked)`` items of ``scan_steps``
@@ -808,6 +854,7 @@ class CTRTrainer:
 
     def _predict_loader(self, data_loader):
         """Run the jitted eval step over a loader; returns (y, p, domain, w)."""
+        self._flush_epoch_log()
         ys, ps, ds, ws = [], [], [], []
         eval_params = self._params_for_eval()
         for x, y, w in prefetch(data_loader, self.prefetch_depth):
@@ -828,10 +875,17 @@ class CTRTrainer:
         ids and padding weights stay ON DEVICE (one concatenated array
         each) — no per-batch host transfer. Large eval sets then score
         with the O(n log n) device AUC instead of the host rank loop."""
+        self._flush_epoch_log()
         ys, ps, ds, ws = [], [], [], []
         eval_params = self._params_for_eval()
         for x, y, w in prefetch(data_loader, self.prefetch_depth):
             xb, yb, wb = self._device_batch(x, y, w)
+            if yb is None:
+                # a predict-style loader (no labels) would otherwise fail
+                # deep inside jnp.concatenate (ADVICE r4)
+                raise ValueError(
+                    "on_device evaluation requires labeled batches; use "
+                    "predict() (host path) for unlabeled loaders")
             ps.append(self._eval_step(eval_params, self.state, xb, wb))
             ys.append(yb)
             ws.append(wb)
@@ -852,6 +906,7 @@ class CTRTrainer:
         """
         if on_device:
             y, p, _, w = self._predict_loader_device(data_loader)
+            self._check_eval_scores(p)
             m = w > 0
             self._check_two_classes(y, m)
             return (float(auc_score_device(y, p, m)),
@@ -871,6 +926,13 @@ class CTRTrainer:
                 "defined."
             )
 
+    @staticmethod
+    def _check_eval_scores(p):
+        """Device-path parity with the host AUC's NaN check: a diverged
+        model must raise, not silently return a bogus AUC (ADVICE r4)."""
+        if bool(jnp.isnan(p).any()):
+            raise ValueError("Input contains NaN.")
+
     def evaluate_multi_domain_loss(self, model, data_loader, domain_num: int,
                                    on_device: bool = False):
         """Per-domain + overall AUC/logloss (reference ctr_trainer.py:113-152).
@@ -882,6 +944,7 @@ class CTRTrainer:
         """
         if on_device:
             y, p, d, w = self._predict_loader_device(data_loader)
+            self._check_eval_scores(p)
             keep = w > 0
             counts = np.asarray(jnp.stack(
                 [jnp.sum((d == dom) & keep) for dom in range(domain_num)]))
@@ -946,6 +1009,7 @@ class CTRTrainer:
         return self.opt_state
 
     def save(self, path: str):
+        self._flush_epoch_log()
         ckpt_lib.save(
             path,
             {"params": self._params_for_eval(), "state": self.state,

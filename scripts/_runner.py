@@ -54,6 +54,17 @@ def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         )
     model = build_model(dataset_key, model_name, data)
     domain_num = data["domain_num"]
+    impl = getattr(args, "sparse_update_impl", "sorted")
+    if getattr(args, "sparse_embedding_updates", False) and impl == "sorted":
+        # the sorted streaming kernel needs the packed embed_dim to divide
+        # 128 (ops/pallas/sorted_adam.py tile layout); models that don't
+        # qualify fall back to the best LAZY impl instead of asserting
+        emb = getattr(model, "embedding", None)
+        pd = getattr(emb, "packed_dim", 0) if emb is not None else 0
+        if not pd or 128 % pd != 0:
+            print(f"sparse_update_impl='sorted' needs packed embed_dim | 128 "
+                  f"(got {pd}); falling back to 'occurrence'")
+            impl = "occurrence"
     trainer = CTRTrainer(
         model, dataset_name,
         optimizer_params={"lr": learning_rate, "weight_decay": weight_decay},
@@ -62,8 +73,11 @@ def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         scan_steps=getattr(args, "scan_steps", 1),
         sparse_embedding_updates=getattr(args, "sparse_embedding_updates",
                                          False),
-        sparse_update_impl=getattr(args, "sparse_update_impl", "occurrence"),
+        sparse_update_impl=impl,
         fused_inference=getattr(args, "fused_inference", False),
+        sorted_dtype=getattr(args, "sorted_dtype", None),
+        sorted_precision=getattr(args, "sorted_precision", None),
+        resident_gather=getattr(args, "resident_gather", "step"),
     )
     if getattr(args, "device_resident", False):
         from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
@@ -120,11 +134,38 @@ def standard_argparser(default_path: str):
     parser.add_argument("--sparse_embedding_updates", action="store_true",
                         help="rows-differentiated embedding updates (the "
                              "production-vocab path)")
-    parser.add_argument("--sparse_update_impl", default="occurrence",
+    parser.add_argument("--sparse_update_impl", default="sorted",
                         choices=["dense", "winner", "occurrence", "sorted"],
-                        help="embedding update formulation (see README)")
+                        help="embedding update formulation (see README). "
+                             "Default 'sorted' = the measured production "
+                             "winner (exact dense Adam, zero scatters); "
+                             "models whose packed embed_dim does not divide "
+                             "128 fall back to 'occurrence' automatically")
+    parser.add_argument("--sorted_dtype", default=None,
+                        choices=["bf16", "float32"],
+                        help="sorted-impl authority storage dtype; bf16 "
+                             "halves the streaming floor (documented "
+                             "parity-ledger deviation)")
+    parser.add_argument("--sorted_precision", default=None,
+                        choices=["fast", "split", "highest"],
+                        help="sorted-kernel segment-sum precision (measured "
+                             "tradeoff table in ops/pallas/sorted_adam.py; "
+                             "default: split for f32 storage, fast for bf16)")
+    parser.add_argument("--resident_gather", default="step",
+                        choices=["step", "dispatch"],
+                        help="device-resident batch assembly granularity "
+                             "(PROFILE.md SS4; 'step' measured faster)")
+    def _fused_inference_value(v):
+        # reject anything but "auto" AT PARSE TIME: nargs="?" would
+        # otherwise swallow a following token (e.g. a typo'd flag value)
+        # and fail only later, deep in CTRTrainer (ADVICE r4)
+        if v != "auto":
+            raise argparse.ArgumentTypeError(
+                f"--fused_inference takes no value or 'auto', got {v!r}")
+        return v
+
     parser.add_argument("--fused_inference", nargs="?", const=True,
-                        default=False,
+                        default=False, type=_fused_inference_value,
                         help="Pallas fused eval kernels: flag alone forces "
                              "on; '--fused_inference auto' consults the "
                              "measured per-model win table (PROFILE.md)")

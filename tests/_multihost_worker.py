@@ -77,6 +77,35 @@ def main():
     assert losses[0] > losses[-1] or abs(losses[0] - losses[-1]) < 1.0
     print(f"MARKER steps ok pid={pid} losses={losses}", flush=True)
 
+    # the PRODUCTION sparse configs across the process boundary (VERDICT
+    # r4 #2/#3): the sorted impl through its shard_map'd Pallas engine
+    # (each process's devices stream only their own authority tiles) and
+    # the occurrence combined-store impl
+    for impl, kw in (("sorted", dict(sparse_update_impl="sorted",
+                                     sorted_kernel=True,
+                                     sorted_block_rows=16)),
+                     ("occurrence", dict(sparse_update_impl="occurrence"))):
+        tr2 = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True,
+                         seed=0, **kw)
+        if impl == "sorted":
+            # packed vocab 150 -> 10 blocks of 16 -> [10, 128] tiles,
+            # [5, 128] per embed shard
+            shards = {s.data.shape
+                      for s in tr2.opt_state["emb"]["table"].addressable_shards}
+            assert shards == {(5, 128)}, shards
+        else:
+            shards = {s.data.shape
+                      for s in tr2.opt_state["emb"]["comb"].addressable_shards}
+            assert shards == {(75, 24)}, shards
+        key = jax.random.PRNGKey(7)
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            (tr2.params, tr2.opt_state, tr2.state, loss) = tr2._train_step(
+                tr2.params, tr2.opt_state, tr2.state, xb, yb, wb, k)
+        lv = float(np.asarray(loss))
+        assert np.isfinite(lv), (impl, lv)
+        print(f"MARKER {impl} ok pid={pid} loss={lv}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -58,6 +58,10 @@ def test_bench_normal_run_emits_single_line():
         # the real default is 467k (VERDICT r3 #2: both shapes must reach
         # the driver's BENCH artifact in ONE line)
         "SWR_PROD_VOCAB": "300",
+        # tiny production batch for the third (batch-scaling) measurement
+        # (VERDICT r4 #8: the documented production batch reaches the
+        # driver artifact too)
+        "SWR_PROD_BIG_BATCH": "64",
     })
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
@@ -72,3 +76,7 @@ def test_bench_normal_run_emits_single_line():
     prod = lines[0]["prod_vocab"]
     assert prod["vocab"] == 300 and prod["impl"] == "sorted"
     assert prod["value"] > 0 and "compile_s" in prod
+    big = lines[0]["prod_vocab_b64"]
+    assert big["vocab"] == 300 and big["impl"] == "sorted"
+    assert big["batch"] == 64
+    assert big["value"] > 0 and "compile_s" in big

@@ -87,6 +87,32 @@ def test_sparse_occurrence_mesh_step_never_materializes_full_store():
     assert re.search(r"f32\[1500,24\]", txt), "combined-store shards missing?"
 
 
+def test_sorted_mesh_step_never_materializes_full_tiles():
+    """Sorted impl (the production default) through its shard_map'd Pallas
+    engine on a 4x2 mesh (VERDICT r4 #2): the compiled step must keep the
+    packed authority tiles strictly per-shard — no tensor of the full tile
+    shape, no all-gather of table-sized data, and no unpacked ``[V2, D]``
+    view (the padded-layout OOM hazard) anywhere in the module."""
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = _trainer(mesh, sparse_embedding_updates=True,
+                  sparse_update_impl="sorted", sorted_block_rows=128,
+                  sorted_kernel=True)
+    # layout: packed vocab 3000 -> nb=24 blocks of 128 rows -> v2=3072
+    # logical rows -> [192, 128] tiles (r = 128//8 = 16); shards [96, 128]
+    assert tr.opt_state["emb"]["table"].shape == (192, 128)
+    txt = _compiled_text(tr)
+    full = re.findall(r"f32\[192,128\]", txt)
+    assert not full, f"full packed tiles materialized {len(full)} times"
+    assert re.search(r"f32\[96,128\]", txt), "tile shards missing?"
+    assert not re.search(r"f32\[3072,8\]", txt), \
+        "unpacked [V2, D] view materialized (padded-layout hazard)"
+    # all-gathers exist (the replicated id/grad lists) but none table-sized
+    tile_elems = 192 * 128
+    bad = [s for s in _shapes(txt, "all-gather")
+           if int(np.prod(s)) >= tile_elems]
+    assert not bad, f"all-gather of table-sized tensors: {bad}"
+
+
 def test_dense_mesh_step_no_full_table_allgather():
     mesh = make_mesh(n_data=4, n_embed=2)
     tr = _trainer(mesh)

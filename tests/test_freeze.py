@@ -84,6 +84,42 @@ def test_frozen_table_bit_identical_after_steps(mode):
         "trainable rows did not move"
 
 
+def test_frozen_moments_stay_zero_dense_optax():
+    """torch keeps NO optimizer state for skipped (requires_grad=False)
+    params; our dense-optax path zeroes frozen rows of the chain's Adam
+    moments after each update so a resume-then-unfreeze matches reference
+    behavior (ADVICE r4)."""
+    import optax
+
+    model = MMOE(_feats(), 2, n_expert=2, expert_params={"dims": [16]},
+                 tower_params={"dims": [8]})
+    tr = CTRTrainer(model, seed=7)
+    col = model.embedding
+    off = col.offsets["s0"]
+
+    x, y, w = _batch()
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        tr.params, tr.opt_state, tr.state, _ = tr._train_step(
+            tr.params, tr.opt_state, tr.state, x, y, w, k)
+
+    adam_states = [s for s in tr.opt_state
+                   if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states, "optax chain carries no ScaleByAdamState?"
+    (st,) = adam_states
+    for mom in (st.mu, st.nu):
+        packed = np.asarray(mom["embedding"]["packed"])
+        np.testing.assert_array_equal(packed[off:off + V0],
+                                      np.zeros((V0, D), np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(mom["embedding"]["tables"]["sl"]),
+            np.zeros(W_LOOSE.shape, np.float32))
+        # non-frozen rows DID accumulate moments
+        off1 = col.offsets["s1"]
+        assert np.abs(packed[off1:off1 + 30]).sum() > 0
+
+
 def test_frozen_survives_fit(tmp_path):
     """End-to-end fit(): frozen table unchanged, results still produced."""
     import pandas as pd

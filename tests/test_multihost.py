@@ -61,3 +61,5 @@ def test_two_process_distributed_training():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"MARKER init ok pid={pid} global_devices=8" in out, out
         assert f"MARKER steps ok pid={pid}" in out, out
+        assert f"MARKER sorted ok pid={pid}" in out, out
+        assert f"MARKER occurrence ok pid={pid}" in out, out

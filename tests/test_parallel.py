@@ -241,7 +241,12 @@ def test_trainer_occurrence_row_sharded_matches_single_device():
 def test_trainer_sorted_row_sharded_matches_single_device():
     """The sorted (exact-dense) impl under a 4x2 mesh: padded authority
     table + moments row-sharded over ``embed``, step equals single-device
-    (the mesh path runs the pure-XLA dense formulation)."""
+    — through BOTH mesh engines: the pure-XLA dense formulation
+    (sorted_kernel=False, the CPU default) and the shard_map'd Pallas
+    streaming kernel (sorted_kernel=True — the engine a real TPU mesh
+    runs by default, sorted_dense_adam_apply_sharded; VERDICT r4 #1). The
+    kernel leg also proves the pallas_call is really in the traced mesh
+    step (not silently replaced by a fallback)."""
     from scenario_wise_rec_tpu.train import CTRTrainer
 
     model, x, y = _model_and_batch(batch=32)
@@ -256,22 +261,35 @@ def test_trainer_sorted_row_sharded_matches_single_device():
         jax.random.PRNGKey(0))
 
     mesh = make_mesh(n_data=4, n_embed=2)
-    tr = CTRTrainer(model, mesh=mesh, **kw)
-    table = tr.opt_state["emb"]["table"]
-    assert max(sh.data.shape[0] for sh in table.addressable_shards) \
-        < table.shape[0], "sorted authority table not row-sharded"
-    assert max(sh.data.shape[0]
-               for sh in tr.opt_state["emb"]["mu"].addressable_shards) \
-        < table.shape[0], "sorted-mode moments not row-sharded"
+    for kernel in (False, True):
+        tr = CTRTrainer(model, mesh=mesh, sorted_kernel=kernel or None,
+                        **kw)
+        table = tr.opt_state["emb"]["table"]
+        assert max(sh.data.shape[0] for sh in table.addressable_shards) \
+            < table.shape[0], "sorted authority table not row-sharded"
+        assert max(sh.data.shape[0]
+                   for sh in tr.opt_state["emb"]["mu"].addressable_shards) \
+            < table.shape[0], "sorted-mode moments not row-sharded"
 
-    xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
-    p8, o8, s8, loss8 = tr._train_step(
-        tr.params, tr.opt_state, tr.state, xs, ys, ws, jax.random.PRNGKey(0))
-    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
-    np.testing.assert_allclose(np.asarray(o8["emb"]["table"]),
-                               np.asarray(o1["emb"]["table"]), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(o8["emb"]["mu"]),
-                               np.asarray(o1["emb"]["mu"]), atol=1e-6)
+        xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
+        if kernel:
+            jaxpr = jax.make_jaxpr(tr._train_step)(
+                tr.params, tr.opt_state, tr.state, xs, ys, ws,
+                jax.random.PRNGKey(0))
+            txt = str(jaxpr)
+            assert "pallas_call" in txt, \
+                "mesh step does not route through the Pallas kernel"
+            assert "shard_map" in txt
+        p8, o8, s8, loss8 = tr._train_step(
+            tr.params, tr.opt_state, tr.state, xs, ys, ws,
+            jax.random.PRNGKey(0))
+        assert float(loss1) == pytest.approx(float(loss8), abs=1e-6), kernel
+        np.testing.assert_allclose(np.asarray(o8["emb"]["table"]),
+                                   np.asarray(o1["emb"]["table"]),
+                                   atol=2e-5, err_msg=f"kernel={kernel}")
+        np.testing.assert_allclose(np.asarray(o8["emb"]["mu"]),
+                                   np.asarray(o1["emb"]["mu"]), atol=1e-5,
+                                   err_msg=f"kernel={kernel}")
 
 
 def test_fit_on_mesh_e2e():

@@ -86,7 +86,7 @@ def test_kernel_matches_dense_ref_with_duplicates_and_empty_blocks():
     state = sorted_dense_adam_init(table0, block_rows=block_rows)
     r = 128 // d
     v2 = state["table"].shape[0] * r
-    assert v2 == (4 + 1) * block_rows
+    assert v2 == 4 * block_rows       # whole blocks, no dedicated pad block
     # packed round trip + packed gather match the plain table
     np.testing.assert_array_equal(
         np.asarray(unpack_rows(state["table"], V, d)), np.asarray(table0))
