@@ -37,12 +37,23 @@ class DeviceResidentLoader:
     """
 
     def __init__(self, dataset: ColumnarDataset, batch_size: int,
-                 seed: int = 0, shuffle: bool = True):
+                 seed: int = 0, shuffle: bool = True,
+                 device_shuffle: bool = False):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
+        # device_shuffle=True: the trainer generates each epoch's
+        # permutation ON DEVICE (jax.random.permutation seeded from this
+        # loader's stream) — zero host RNG work and zero permutation
+        # upload per epoch. The shuffle stream then differs from
+        # BatchIterable's numpy stream (equally uniform, documented in
+        # README's benchmark notes); keep the default for bit-parity with
+        # the host pipeline.
+        self.device_shuffle = bool(device_shuffle)
         self._rng = np.random.default_rng(seed)
         self.n = len(dataset)
+        self._next_perm = None
+        self._perm_pool = None
 
         int_cols: List[np.ndarray] = []
         float_cols: List[np.ndarray] = []
@@ -69,13 +80,7 @@ class DeviceResidentLoader:
         """Batches per epoch (BatchIterable semantics, no drop_last)."""
         return (self.n + self.batch_size - 1) // self.batch_size
 
-    def epoch_perm(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Next epoch's ``(row_ids [Nb*B], weights [Nb*B])``.
-
-        Same permutation stream as BatchIterable(shuffle=True) with this
-        seed; the final partial batch repeats its own first row with weight
-        0, exactly like BatchIterable._make.
-        """
+    def _compute_perm(self) -> Tuple[np.ndarray, np.ndarray]:
         bs = self.batch_size
         idx = (self._rng.permutation(self.n) if self.shuffle
                else np.arange(self.n))
@@ -87,6 +92,32 @@ class DeviceResidentLoader:
                 [idx, np.repeat(idx[self.n - rem: self.n - rem + 1], pad)])
             w[-pad:] = 0.0
         return idx.astype(np.int32), w
+
+    def epoch_perm(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Next epoch's ``(row_ids [Nb*B], weights [Nb*B])``.
+
+        Same permutation stream as BatchIterable(shuffle=True) with this
+        seed; the final partial batch repeats its own first row with weight
+        0, exactly like BatchIterable._make. The FOLLOWING epoch's
+        permutation starts computing on a background thread immediately
+        (an O(N) host RNG pass — ~50 ms at 4M rows on a small host — that
+        would otherwise sit on the epoch boundary; the single worker
+        thread keeps the RNG call order, so the stream is unchanged).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._perm_pool is None:
+            self._perm_pool = ThreadPoolExecutor(max_workers=1)
+        out = (self._next_perm.result() if self._next_perm is not None
+               else self._compute_perm())
+        self._next_perm = self._perm_pool.submit(self._compute_perm)
+        return out
+
+    def epoch_seed(self) -> int:
+        """Per-epoch seed for the DEVICE-side shuffle (``device_shuffle``):
+        one draw from the same generator, so epochs get independent
+        permutations and runs are reproducible given the loader seed."""
+        return int(self._rng.integers(0, 2**31 - 1))
 
     def gather_batch(self, xi, xf, ids=None):
         """Reassemble the model's ``(x_dict, y)`` from gathered rows.

