@@ -61,8 +61,15 @@ def read_metadata(path: str) -> Dict[str, Any]:
         return json.loads(bytes(data["__metadata__"]).decode())
 
 
-def load(path: str, example_tree):
-    """Restore ``(tree, metadata)``; shapes validated against example_tree."""
+def load(path: str, example_tree, coerce=None):
+    """Restore ``(tree, metadata)``; shapes validated against example_tree.
+
+    ``coerce``: optional ``(key, saved_array, expected_shape) -> array``
+    hook invoked on shape mismatches BEFORE the validation — the trainer
+    uses it to re-lay-out the sorted impl's packed authority moments when
+    a checkpoint moves between mesh shard counts or block sizes (elastic
+    resharding on resume). The returned array must match the expected
+    shape or the load still fails loud."""
     if not path.endswith(".npz") and not os.path.exists(path):
         path = path + ".npz"
     import ml_dtypes
@@ -78,6 +85,8 @@ def load(path: str, example_tree):
             arr = data[key]
             if key in bf16:
                 arr = arr.view(ml_dtypes.bfloat16)
+            if arr.shape != np.shape(leaf) and coerce is not None:
+                arr = coerce(key, arr, np.shape(leaf))
             assert arr.shape == np.shape(leaf), (
                 f"checkpoint leaf {key}: shape {arr.shape} != expected {np.shape(leaf)}"
             )

@@ -1149,6 +1149,12 @@ class CTRTrainer:
                 "sparse_embedding_updates": bool(self._sparse_emb),
                 "sparse_update_impl": (self._sparse_impl if self._sparse_emb
                                        else None),
+                # sorted-mode packed-layout provenance (informational; load
+                # re-lays-out across mesh/block changes automatically)
+                "sorted_block_rows": (self._sorted_block_rows
+                                      if self._sorted_mode else None),
+                "sorted_shards": (self._sorted_shards if self._sorted_mode
+                                  else None),
             },
         )
 
@@ -1164,10 +1170,33 @@ class CTRTrainer:
                     "construct CTRTrainer with the matching "
                     "sparse_embedding_updates/sparse_update_impl to resume"
                 )
+        coerce = None
+        if self._sorted_mode:
+            # ELASTIC RESHARDING: the sorted authority moments are saved in
+            # the packed [V2/r, 128] tile layout, whose padded length
+            # depends on block_rows AND the mesh's embed-shard count
+            # (sorted_dense_adam_init). A checkpoint written under a
+            # different mesh size (or block size) re-lays-out here:
+            # unpack to the live [V, D] rows, repack for THIS trainer's
+            # layout (pad rows are zero in both, so this is lossless).
+            col = self.model.embedding
+
+            def coerce(key, arr, expected):
+                from ..ops.pallas.sorted_adam import pack_rows, unpack_rows
+
+                if (not key.startswith("opt_state/emb/") or arr.ndim != 2
+                        or arr.shape[-1] != 128):
+                    return arr
+                live = unpack_rows(jnp.asarray(arr), col.packed_vocab,
+                                   col.packed_dim)
+                return np.asarray(pack_rows(live, self._sorted_block_rows,
+                                            n_shards=self._sorted_shards))
+
         tree, meta = ckpt_lib.load(
             path,
             {"params": self._params_for_eval(), "state": self.state,
              "opt_state": self._opt_state_for_save()},
+            coerce=coerce,
         )
         self.state = tree["state"]
         loaded_opt = tree["opt_state"]

@@ -338,3 +338,25 @@ def test_param_specs_only_shards_tables():
             assert spec == P("embed", None)
         else:
             assert spec == P()
+
+
+def test_trainer_sorted_bf16_sharded_kernel_smoke():
+    """bf16 authority tiles through the shard_map'd kernel on a 4x2 mesh:
+    executes, keeps the storage dtype, finite loss."""
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    model, x, y = _model_and_batch(batch=32)
+    w = jnp.ones((32,), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True,
+                    sparse_update_impl="sorted", sorted_block_rows=64,
+                    sorted_dtype="bf16", sorted_kernel=True, seed=3)
+    xs, ys, ws = tr._shard(xb, jnp.asarray(y), w)
+    _, o8, _, loss = tr._train_step(tr.params, tr.opt_state, tr.state,
+                                    xs, ys, ws, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert o8["emb"]["table"].dtype == jnp.bfloat16
+    assert max(sh.data.shape[0]
+               for sh in o8["emb"]["table"].addressable_shards) \
+        < o8["emb"]["table"].shape[0]

@@ -371,3 +371,57 @@ def test_bf16_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tr2._params_for_eval()["embedding"]["packed"]),
         np.asarray(tr._params_for_eval()["embedding"]["packed"]))
+
+
+def test_checkpoint_elastic_resharding(tmp_path):
+    """A sorted-mode checkpoint written single-device resumes onto a
+    row-sharded mesh (different shard count AND block size): the packed
+    authority moments re-lay-out losslessly on load (train/trainer.py
+    coerce hook; the mesh pads the block count to the shard count)."""
+    from scenario_wise_rec_tpu.models import MMOE
+    from scenario_wise_rec_tpu.parallel.mesh import make_mesh
+    from scenario_wise_rec_tpu.train import CTRTrainer
+
+    feats = [SparseFeature("s0", vocab_size=40, embed_dim=8),
+             DenseFeature("d0")]
+
+    def make(**kw):
+        model = MMOE(feats, 2, n_expert=2, expert_params={"dims": [8]},
+                     tower_params={"dims": [4]})
+        return CTRTrainer(model, sparse_embedding_updates=True,
+                          sparse_update_impl="sorted", seed=3, **kw)
+
+    tr = make(sorted_block_rows=64)
+    rng = np.random.default_rng(0)
+    b = 16
+    x = {"s0": jnp.asarray(rng.integers(0, 40, b).astype(np.int32)),
+         "d0": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+         "domain_indicator": jnp.asarray(
+             rng.integers(0, 2, b).astype(np.int32))}
+    y = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+    w = jnp.ones((b,), jnp.float32)
+    for _ in range(2):
+        tr.params, tr.opt_state, tr.state, _ = tr._train_step(
+            tr.params, tr.opt_state, tr.state, x, y, w,
+            jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck")
+    tr.save(path)
+
+    # resume on a 4x2 mesh: the shard count pads the block count (1 -> 2
+    # blocks of 64 rows -> [8, 128] tiles vs the saved [4, 128])
+    tr2 = make(sorted_block_rows=64, mesh=make_mesh(n_data=4, n_embed=2))
+    assert tr2.opt_state["emb"]["mu"].shape != tr.opt_state["emb"]["mu"].shape
+    tr2.load(path)
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(tr2.opt_state["emb"]["mu"], 40, 8)),
+        np.asarray(unpack_rows(tr.opt_state["emb"]["mu"], 40, 8)),
+        rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(tr2.opt_state["emb"]["table"], 40, 8)),
+        np.asarray(unpack_rows(tr.opt_state["emb"]["table"], 40, 8)),
+        rtol=1e-6, atol=1e-7)
+    # and the resumed trainer still trains a step on the mesh
+    xs, ys, ws = tr2._shard(x, y, w)
+    _, o2, _, loss = tr2._train_step(tr2.params, tr2.opt_state, tr2.state,
+                                     xs, ys, ws, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
