@@ -30,6 +30,32 @@ def apply_device(device: str) -> None:
                           "axon" if device.lower() == "tpu" else device.lower())
 
 
+def trainer_kwargs_from_args(args, model) -> dict:
+    """The TPU-native CTRTrainer kwargs carried by standard_argparser,
+    with the sorted-impl embed-dim guard (shared by every run script)."""
+    impl = getattr(args, "sparse_update_impl", "sorted")
+    if getattr(args, "sparse_embedding_updates", False) and impl == "sorted":
+        # the sorted streaming kernel needs the packed embed_dim to divide
+        # 128 (ops/pallas/sorted_adam.py tile layout); models that don't
+        # qualify fall back to the best LAZY impl instead of asserting
+        emb = getattr(model, "embedding", None)
+        pd = getattr(emb, "packed_dim", 0) if emb is not None else 0
+        if not pd or 128 % pd != 0:
+            print(f"sparse_update_impl='sorted' needs packed embed_dim | "
+                  f"128 (got {pd}); falling back to 'occurrence'")
+            impl = "occurrence"
+    return dict(
+        scan_steps=getattr(args, "scan_steps", 1),
+        sparse_embedding_updates=getattr(args, "sparse_embedding_updates",
+                                         False),
+        sparse_update_impl=impl,
+        fused_inference=getattr(args, "fused_inference", False),
+        sorted_dtype=getattr(args, "sorted_dtype", None),
+        sorted_precision=getattr(args, "sorted_precision", None),
+        resident_gather=getattr(args, "resident_gather", "step"),
+    )
+
+
 def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         epoch: int, learning_rate: float, batch_size: int, weight_decay: float,
         device: str, save_dir: str, seed: int, earlystop_patience: int,
@@ -54,37 +80,21 @@ def run(dataset_key: str, dataset_name: str, data: dict, model_name: str,
         )
     model = build_model(dataset_key, model_name, data)
     domain_num = data["domain_num"]
-    impl = getattr(args, "sparse_update_impl", "sorted")
-    if getattr(args, "sparse_embedding_updates", False) and impl == "sorted":
-        # the sorted streaming kernel needs the packed embed_dim to divide
-        # 128 (ops/pallas/sorted_adam.py tile layout); models that don't
-        # qualify fall back to the best LAZY impl instead of asserting
-        emb = getattr(model, "embedding", None)
-        pd = getattr(emb, "packed_dim", 0) if emb is not None else 0
-        if not pd or 128 % pd != 0:
-            print(f"sparse_update_impl='sorted' needs packed embed_dim | 128 "
-                  f"(got {pd}); falling back to 'occurrence'")
-            impl = "occurrence"
     trainer = CTRTrainer(
         model, dataset_name,
         optimizer_params={"lr": learning_rate, "weight_decay": weight_decay},
         n_epoch=epoch, earlystop_patience=earlystop_patience, device=device,
         model_path=save_dir, seed=seed, scheduler_params=scheduler_params,
-        scan_steps=getattr(args, "scan_steps", 1),
-        sparse_embedding_updates=getattr(args, "sparse_embedding_updates",
-                                         False),
-        sparse_update_impl=impl,
-        fused_inference=getattr(args, "fused_inference", False),
-        sorted_dtype=getattr(args, "sorted_dtype", None),
-        sorted_precision=getattr(args, "sorted_precision", None),
-        resident_gather=getattr(args, "resident_gather", "step"),
+        **trainer_kwargs_from_args(args, model),
     )
     if getattr(args, "device_resident", False):
         from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
 
-        # same shuffle stream as the BatchIterable it replaces
-        train_dl = DeviceResidentLoader(train_dl.dataset, batch_size,
-                                        seed=seed)
+        # same shuffle stream as the BatchIterable it replaces (unless
+        # --device_shuffle opts into the on-TPU permutation stream)
+        train_dl = DeviceResidentLoader(
+            train_dl.dataset, batch_size, seed=seed,
+            device_shuffle=getattr(args, "device_shuffle", False))
     trainer.fit(train_dl, val_dl)
     domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
         trainer.model, test_dl, domain_num,
@@ -172,6 +182,11 @@ def standard_argparser(default_path: str):
     parser.add_argument("--device_resident", action="store_true",
                         help="device-resident epochs: batches assembled on "
                              "the TPU (data/device.py)")
+    parser.add_argument("--device_shuffle", action="store_true",
+                        help="with --device_resident: generate epoch "
+                             "permutations ON the TPU (jax.random stream — "
+                             "not BatchIterable's numpy stream; zero host "
+                             "RNG pass and zero permutation upload)")
     parser.add_argument("--device_eval", action="store_true",
                         help="score AUC/logloss on device (static-shape "
                              "per-domain masks; for large eval sets)")

@@ -112,7 +112,7 @@ def get_ali_ccp_data_dict_ppnet(data_path):
 
 def main(dataset_path, model_name, epoch, learning_rate, batch_size,
          weight_decay, device, save_dir, seed, args=None):
-    from _runner import apply_device
+    from _runner import apply_device, trainer_kwargs_from_args
 
     apply_device(device)
     dataset_name = "Aliccp"
@@ -136,17 +136,14 @@ def main(dataset_path, model_name, epoch, learning_rate, batch_size,
         n_epoch=epoch, earlystop_patience=5, device=device,
         model_path=save_dir, seed=seed,
         scheduler_params={"step_size": 4, "gamma": 0.95},
-        scan_steps=getattr(args, "scan_steps", 1),
-        sparse_embedding_updates=getattr(args, "sparse_embedding_updates",
-                                         False),
-        sparse_update_impl=getattr(args, "sparse_update_impl", "occurrence"),
-        fused_inference=getattr(args, "fused_inference", False),
+        **trainer_kwargs_from_args(args, model),
     )
     if getattr(args, "device_resident", False):
         from scenario_wise_rec_tpu.data.device import DeviceResidentLoader
 
-        train_dl = DeviceResidentLoader(train_dl.dataset, batch_size,
-                                        seed=seed)
+        train_dl = DeviceResidentLoader(
+            train_dl.dataset, batch_size, seed=seed,
+            device_shuffle=getattr(args, "device_shuffle", False))
     trainer.fit(train_dl, val_dl)
     domain_logloss, domain_auc, logloss, auc = trainer.evaluate_multi_domain_loss(
         trainer.model, test_dl, domain_num,
@@ -171,25 +168,14 @@ def main(dataset_path, model_name, epoch, learning_rate, batch_size,
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--dataset_path", default="/root/reference/scripts/data/ali-ccp")
-    parser.add_argument("--model_name", default="star")
-    parser.add_argument("--epoch", type=int, default=1)
-    parser.add_argument("--learning_rate", type=float, default=1e-3)
-    parser.add_argument("--batch_size", type=int, default=4096)
-    parser.add_argument("--weight_decay", type=float, default=1e-5)
-    parser.add_argument("--device", default="")
-    parser.add_argument("--save_dir", default="./")
-    parser.add_argument("--seed", type=int, default=2022)
-    # opt-in TPU-native options (defaults reproduce the reference protocol)
-    parser.add_argument("--scan_steps", type=int, default=1)
-    parser.add_argument("--sparse_embedding_updates", action="store_true")
-    parser.add_argument("--sparse_update_impl", default="occurrence",
-                        choices=["dense", "winner", "occurrence", "sorted"])
-    parser.add_argument("--fused_inference", nargs="?", const=True,
-                        default=False)
-    parser.add_argument("--device_resident", action="store_true")
-    parser.add_argument("--device_eval", action="store_true")
+    # the shared standard parser carries every TPU-native flag with the
+    # measured defaults (_runner.standard_argparser) — a bespoke copy here
+    # drifted in round 4 (stale occurrence default, missing sorted_* /
+    # device_shuffle flags)
+    from _runner import standard_argparser
+
+    parser = standard_argparser("/root/reference/scripts/data/ali-ccp")
+    parser.set_defaults(model_name="star", epoch=1, seed=2022)
     args = parser.parse_args()
     main(args.dataset_path, args.model_name, args.epoch, args.learning_rate,
          args.batch_size, args.weight_decay, args.device, args.save_dir,

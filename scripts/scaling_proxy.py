@@ -39,7 +39,7 @@ PER_DEVICE_BATCH = 256
 VOCAB, NFEAT, D = 2000, 8, 16
 
 
-def build(n_data, n_embed, sparse):
+def build(n_data, n_embed, mode):
     from scenario_wise_rec_tpu.core import DenseFeature, SparseFeature
     from scenario_wise_rec_tpu.models import MMOE
     from scenario_wise_rec_tpu.parallel.mesh import make_mesh
@@ -51,7 +51,14 @@ def build(n_data, n_embed, sparse):
                  expert_params={"dims": [64, 32]}, tower_params={"dims": [16]})
     mesh = make_mesh(n_data=n_data, n_embed=n_embed,
                      devices=jax.devices()[: n_data * n_embed])
-    tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=sparse)
+    kw = {}
+    if mode == "sorted":
+        # the production impl through its shard_map'd kernel (interpret
+        # on the virtual mesh — the collective pattern is mode-identical)
+        kw = dict(sparse_update_impl="sorted", sorted_kernel=True,
+                  sorted_block_rows=512)
+    tr = CTRTrainer(model, mesh=mesh,
+                    sparse_embedding_updates=(mode != "dense"), **kw)
     b = PER_DEVICE_BATCH * n_data
     rng = np.random.default_rng(0)
     x = {f"s{i}": jnp.asarray(rng.integers(0, VOCAB, b).astype(np.int32))
@@ -85,11 +92,10 @@ def census(txt):
 
 def main():
     print(f"per-device batch {PER_DEVICE_BATCH}, MMOE {NFEAT}x{VOCAB}x{D}")
-    for sparse in (False, True):
-        mode = "sparse" if sparse else "dense"
+    for mode in ("dense", "sparse", "sorted"):
         base = None
         for n_data, n_embed in ((1, 1), (2, 1), (4, 1), (8, 1), (4, 2)):
-            tr, batch = build(n_data, n_embed, sparse)
+            tr, batch = build(n_data, n_embed, mode)
             low = tr._train_step.lower(tr.params, tr.opt_state, tr.state,
                                        *batch, jax.random.PRNGKey(0))
             comp = low.compile()
