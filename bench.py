@@ -194,13 +194,13 @@ def _make_trainer(vocab, sparse, impl):
 
 
 def _measure_device_only(vocab, sparse, impl, stage_prefix="",
-                         measure=True, batch=None):
+                         batch=None):
     """Compile + time the jitted train step at one shape.
 
-    ``measure=False`` stops after compile + calibration (E2E mode only
-    needs the compiled trainer — the timed loop would burn the budget
-    for a number that gets discarded). ``batch`` overrides the global
-    BATCH (the prod_vocab_b16384 measurement). Returns
+    ``batch`` overrides the global BATCH (the prod_vocab_b16384
+    measurement). In E2E mode this measurement is NOT discarded: it is
+    the same-session, same-config denominator behind the JSON line's
+    ``fraction_of_device_only`` (the BASELINE.md >=90% bar). Returns
     (examples_per_s, compile_s, trainer, per_call)."""
     import jax
     import jax.numpy as jnp
@@ -251,8 +251,6 @@ def _measure_device_only(vocab, sparse, impl, stage_prefix="",
     sync(loss)
     per_call = time.perf_counter() - t_c
     budget = float(os.environ.get("SWR_TIME_BUDGET", 45))
-    if not measure:
-        return 0.0, compile_s, trainer, per_call
     n_calls = max(3, min(n_calls, int(budget / max(per_call, 1e-4))))
     _progress(f"calibrated {per_call * 1e3:.1f} ms/dispatch -> "
               f"{n_calls} timed dispatches")

@@ -119,6 +119,21 @@ class DeviceResidentLoader:
         permutations and runs are reproducible given the loader seed."""
         return int(self._rng.integers(0, 2**31 - 1))
 
+    def close(self) -> None:
+        """Release the background permutation worker and its pinned
+        (ids, weights) buffers (the speculative next-epoch permutation is
+        otherwise held until interpreter exit)."""
+        if self._perm_pool is not None:
+            self._perm_pool.shutdown(wait=False, cancel_futures=True)
+            self._perm_pool = None
+        self._next_perm = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def gather_batch(self, xi, xf, ids=None):
         """Reassemble the model's ``(x_dict, y)`` from gathered rows.
 

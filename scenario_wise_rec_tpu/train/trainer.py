@@ -753,7 +753,18 @@ class CTRTrainer:
         the host path — tests/test_device_resident.py). Full scan_steps
         dispatches assemble batches on device; the remainder (< scan_steps
         batches) reuses the already-compiled single-step program with
-        host-built batches, so no extra XLA program exists for the tail."""
+        host-built batches, so no extra XLA program exists for the tail.
+
+        Per-epoch host work (VERDICT r4 #4): the dispatch key chain is ONE
+        device op (same split stream as the host loop) and the padding
+        weights are position math inside the jitted step. The dispatch
+        ids come either as prefetch-threaded per-dispatch uploads (host
+        permutation stream — the [S*B]-int transfer for dispatch d+1
+        overlaps dispatch d's execution; an epoch-upfront single upload
+        measured WORSE, serializing ~16 MB into the epoch start) or, with
+        ``device_shuffle=True``, as one DEVICE-GENERATED [n_disp, S, B]
+        permutation sliced in-jit (no host RNG pass, no upload;
+        jax.random stream — documented opt-in)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self._flush_epoch_log()
@@ -762,42 +773,41 @@ class CTRTrainer:
         nb = len(loader)
         n_disp = nb // s
         fn = self._resident_scan_fn(loader) if n_disp else None
-        device_shuffle = getattr(loader, "device_shuffle", False)
-        if device_shuffle:
-            return self._train_epoch_resident_device_shuffle(
-                loader, fn, s, b, nb, n_disp, log_interval)
-        perm, w = loader.epoch_perm()
-
         int_mat, float_mat = self._resident_mats(loader)
-        pending, done = [], 0
         n_rows = n_disp * s * b
         if n_disp:
-            # the dispatch key chain in ONE device op per epoch (same
-            # split stream as the host loop); the padding weights are
-            # position math inside the jitted step. vs r4 that removes
-            # one upload + one eager split per dispatch — each eager op
-            # is a tunnel round-trip on the axon platform (VERDICT r4 #4)
             self.rng, keys_all = self._chain_keys(self.rng, n_disp)
-        # per-dispatch permutation uploads stay on the prefetch thread:
-        # the [S*B]-int transfer for dispatch d+1 overlaps dispatch d's
-        # device execution (an epoch-upfront single upload measured WORSE
-        # — it serializes ~16 MB into the epoch start, and with the
-        # deferred end-of-epoch fetch there is no idle boundary to hide it)
-        ids_host = perm[:n_rows].reshape(n_disp, s, b)
-        sh = (NamedSharding(self.mesh, P(None, "data"))
-              if self.mesh is not None else None)
 
-        def _uploads():
-            for d in range(n_disp):
-                ids_d = jnp.asarray(ids_host[d])
-                if sh is not None:
-                    ids_d = jax.device_put(ids_d, sh)
-                yield d, ids_d
+        tail_ids = None            # remainder batches' row ids (host)
+        if getattr(loader, "device_shuffle", False):
+            ids_all, tail = self._device_epoch_ids(
+                np.uint32(loader.epoch_seed()), loader.n, b, s, n_disp,
+                loader.shuffle)
+            dispatches = ((d, ids_all) for d in range(n_disp))
+            if n_disp * s < nb:
+                tail_ids = np.asarray(tail)   # one small fetch
+        else:
+            perm, _ = loader.epoch_perm()
+            ids_host = perm[:n_rows].reshape(n_disp, s, b)
+            sh = (NamedSharding(self.mesh, P(None, "data"))
+                  if self.mesh is not None else None)
 
-        for d, ids_d in prefetch(_uploads(), self.prefetch_depth):
+            def _uploads():
+                for d in range(n_disp):
+                    ids_d = jnp.asarray(ids_host[d])
+                    if sh is not None:
+                        ids_d = jax.device_put(ids_d, sh)
+                    yield d, ids_d
+
+            dispatches = prefetch(_uploads(), self.prefetch_depth)
+            tail_ids = perm[n_rows:]
+
+        pending, done = [], 0
+        for d, ids_op in dispatches:
             (self.params, self.opt_state, self.state,
              losses) = fn(self.params, self.opt_state, self.state,
-                          int_mat, float_mat, ids_d, keys_all, jnp.int32(d))
+                          int_mat, float_mat, ids_op, keys_all,
+                          jnp.int32(d))
             pending.append(losses)
             done += s
             if done % max(log_interval, 1) < s:
@@ -805,13 +815,17 @@ class CTRTrainer:
                                       for l in pending]))
                 print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
                 pending = []
-        # remainder: host-built batches through the single-step program
+        # remainder: host-built batches through the single-step program;
+        # padding weights from position math (identical to epoch_perm's w:
+        # zeros exactly on the repeated-pad tail past the dataset's end)
         ds = loader.dataset
         for bi in range(n_disp * s, nb):
-            sel = perm[bi * b:(bi + 1) * b]
+            off = (bi - n_disp * s) * b
+            sel = tail_ids[off:off + b]
             xb = {kk: v[sel] for kk, v in ds.x.items()}
             yb = ds.y[sel]
-            wb = w[bi * b:(bi + 1) * b]
+            wb = (np.arange(bi * b, (bi + 1) * b) < loader.n
+                  ).astype(np.float32)
             xb, yb, wb = self._device_batch(xb, yb, wb)
             self.rng, k = jax.random.split(self.rng)
             (self.params, self.opt_state, self.state,
@@ -848,63 +862,6 @@ class CTRTrainer:
                 jax.device_put(float_mat, repl),
             )
         return self._resident_repl[2], self._resident_repl[3]
-
-    def _train_epoch_resident_device_shuffle(self, loader, fn, s, b, nb,
-                                             n_disp, log_interval):
-        """Resident epoch with the permutation GENERATED ON DEVICE
-        (``DeviceResidentLoader(device_shuffle=True)``): the host's
-        per-epoch work is one 4-byte seed + one key-chain dispatch —
-        no O(N) RNG pass, no permutation upload. The shuffle stream is
-        jax.random's (equally uniform, but not BatchIterable's numpy
-        stream — documented opt-in, README benchmark notes)."""
-        int_mat, float_mat = self._resident_mats(loader)
-        pending, done = [], 0
-        ids_all = tail = None
-        if n_disp:
-            seed = loader.epoch_seed()
-            ids_all, tail = self._device_epoch_ids(
-                np.uint32(seed), loader.n, b, s, n_disp, loader.shuffle)
-            self.rng, keys_all = self._chain_keys(self.rng, n_disp)
-        for d in range(n_disp):
-            (self.params, self.opt_state, self.state,
-             losses) = fn(self.params, self.opt_state, self.state,
-                          int_mat, float_mat, ids_all, keys_all,
-                          jnp.int32(d))
-            pending.append(losses)
-            done += s
-            if done % max(log_interval, 1) < s:
-                mean = float(np.mean([np.mean(np.asarray(l))
-                                      for l in pending]))
-                print(f"  step {done}/{nb} loss {mean:.5f}", flush=True)
-                pending = []
-        # remainder (< scan_steps batches): host-built batches through the
-        # single-step program; ids fetched once from the device tail
-        if n_disp * s < nb:
-            if tail is None:
-                _, tail = self._device_epoch_ids(
-                    np.uint32(loader.epoch_seed()), loader.n, b, s, 0,
-                    loader.shuffle)
-            tail_host = np.asarray(tail)
-            ds = loader.dataset
-            w_full = np.ones(nb * b, np.float32)
-            rem = loader.n % b
-            if rem:
-                w_full[-(b - rem):] = 0.0
-            for bi in range(n_disp * s, nb):
-                off = (bi - n_disp * s) * b
-                sel = tail_host[off:off + b]
-                xb = {kk: v[sel] for kk, v in ds.x.items()}
-                yb = ds.y[sel]
-                wb = w_full[bi * b:(bi + 1) * b]
-                xb, yb, wb = self._device_batch(xb, yb, wb)
-                self.rng, k = jax.random.split(self.rng)
-                (self.params, self.opt_state, self.state,
-                 loss) = self._train_step(
-                    self.params, self.opt_state, self.state, xb, yb, wb, k)
-                pending.append(loss)
-                done += 1
-        if pending:
-            self._deferred_log = (done, nb, pending)
 
     def _scan_producer(self, data_loader):
         """Group the loader into ``("scan", stacked)`` items of ``scan_steps``

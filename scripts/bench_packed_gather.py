@@ -52,9 +52,8 @@ def main():
           flush=True)
 
     rng = np.random.default_rng(0)
-    table = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
-    # build the packed tiles without a [V, 16] host array (memory):
-    # pack_rows on a zeros table of the right height
+    # build the packed tiles from zeros (values are irrelevant to gather
+    # timing; avoids a [V, 16] random host array)
     packed = pack_rows(jnp.zeros((v, d), jnp.float32), 8192)
     ids_occ = jnp.asarray(rng.integers(0, v, k).astype(np.int32))
     ids_sorted = jnp.sort(ids_occ)

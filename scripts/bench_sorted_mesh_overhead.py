@@ -58,6 +58,7 @@ def main():
         model = MMOE(feats, DOMAINS, n_expert=DOMAINS,
                      expert_params={"dims": [256, 128, 64, 32, 16, 8]},
                      tower_params={"dims": [16]})
+        assert SCAN > 1, "this A/B uses the scanned dispatch path (SWR_SCAN>1)"
         tr = CTRTrainer(model, mesh=mesh, sparse_embedding_updates=True,
                         sparse_update_impl="sorted", scan_steps=SCAN)
         xb, yb, wb = (xs, ys, ws)

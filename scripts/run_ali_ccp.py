@@ -177,6 +177,10 @@ if __name__ == "__main__":
     parser = standard_argparser("/root/reference/scripts/data/ali-ccp")
     parser.set_defaults(model_name="star", epoch=1, seed=2022)
     args = parser.parse_args()
+    if getattr(args, "synthetic", False):
+        parser.error("ali-ccp bundles a real sample; --synthetic is only "
+                     "for the datasets whose raw files are stripped "
+                     "(run_movielens.py / run_amazon.py)")
     main(args.dataset_path, args.model_name, args.epoch, args.learning_rate,
          args.batch_size, args.weight_decay, args.device, args.save_dir,
          args.seed, args=args)

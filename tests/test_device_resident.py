@@ -179,9 +179,12 @@ def test_device_shuffle_epoch_ids_cover_dataset():
 
 
 def test_device_shuffle_training_runs_and_covers_rows():
-    """device_shuffle training: finite losses, trained params move, and
-    the padded rows carry zero weight (loss equals a manual replay of the
-    same device-generated permutation through the host-batch step)."""
+    """device_shuffle training smoke: two full epochs (scanned dispatches
+    + the padded remainder batch) run, params move and stay finite. The
+    permutation/padding semantics themselves are pinned by
+    test_device_shuffle_epoch_ids_cover_dataset; batch-exact equivalence
+    with the host pipeline is NOT claimed (the jax.random shuffle stream
+    is a documented deviation, README ledger)."""
     ds = _data()
     model = MMOE(FEATS, 2, n_expert=2, expert_params={"dims": [16]},
                  tower_params={"dims": [8]})
