@@ -184,6 +184,10 @@ def _make_trainer(vocab, sparse, impl):
                  tower_params={"dims": [16]})
     return CTRTrainer(model, sparse_embedding_updates=sparse,
                       sparse_update_impl=impl, scan_steps=SCAN,
+                      sorted_block_rows=(int(os.environ[
+                          "SWR_SORTED_BLOCK_ROWS"])
+                          if os.environ.get("SWR_SORTED_BLOCK_ROWS")
+                          else None),   # None = trainer auto by table size
                       sorted_reorder=os.environ.get("SWR_SORTED_REORDER",
                                                     "gather"),
                       sorted_dtype=os.environ.get("SWR_SORTED_DTYPE") or None,
@@ -357,8 +361,17 @@ def main():
 
     prod = None
     if PROD:
-        prod_eps, prod_compile_s, _, _ = _measure_device_only(
+        # release the primary trainer's device buffers before the ~2 GB
+        # production-shape allocations (one full-bench run hit a transient
+        # RESOURCE_EXHAUSTED here with the primary still resident)
+        import gc
+
+        trainer = None
+        gc.collect()
+        prod_eps, prod_compile_s, _tr, _ = _measure_device_only(
             PROD_VOCAB, True, PROD_IMPL, stage_prefix="prod_")
+        _tr = None
+        gc.collect()
         prod = {
             "vocab": PROD_VOCAB,
             "impl": PROD_IMPL,

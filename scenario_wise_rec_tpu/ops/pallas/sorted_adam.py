@@ -410,6 +410,14 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         out_shape=[jax.ShapeDtypeStruct((v2 // r, 128), table.dtype)] * 3,
         # flattened inputs: (hp, wb, wc, first, emit, rv, g2, tbl, mu, nu)
         input_output_aliases={7: 0, 8: 1, 9: 2},
+        # ONLY huge blocks raise the scoped-VMEM budget (the 16 MB default
+        # compile-OOMs at block_rows 32768, measured 26.1 MB): the raise is
+        # deliberately conditional because applying it unconditionally
+        # coincided with a -25% primary-shape regression in one session
+        # (suspected allocator-strategy change at the default shapes)
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)}
+           if block_rows >= 32768 else {}),
         interpret=interpret,
     )(hp, wb, wc, first, emit, rv, g2, table, mu, nu)
     return tuple(out)
