@@ -145,17 +145,20 @@ class CTRTrainer:
                                       "sorted"), sparse_update_impl
         self._sparse_impl = sparse_update_impl
         self._sorted_reorder = sorted_reorder
-        # vocab-block size of the sorted streaming kernel. None = auto by
-        # table size (one-session A/Bs, PROFILE.md SS5): 16384 wins +2.8%
-        # at 10.7M packed rows, where the kernel is HBM-stream-bound and
-        # fewer/fatter blocks shave grid overhead; at 0.46M rows the same
-        # setting LOSES 32% — the per-chunk one-hot matmul is O(block_rows)
-        # and dominates when there is little to stream. 32768 compile-
-        # needs the raised VMEM budget and measured slower at both shapes.
+        # vocab-block size of the sorted streaming kernel. None = auto
+        # (one-session A/Bs, PROFILE.md SS5): 16384 wins +2.8% at 10.7M
+        # packed rows with f32 storage, where the kernel is HBM-stream-
+        # bound and fewer/fatter blocks shave grid overhead; at 0.46M rows
+        # the same setting LOSES 32% — the per-chunk one-hot matmul is
+        # O(block_rows) and dominates when there is little to stream —
+        # and with bf16 tiles (half the stream) 8192 wins even at 10.7M
+        # (1.095M vs 1.074M at b16384). 32768 compile-needs the raised
+        # VMEM budget and measured slower everywhere.
         if sorted_block_rows is None:
             pv = getattr(getattr(model, "embedding", None),
                          "packed_vocab", 0) or 0
-            sorted_block_rows = 16384 if pv >= 4_000_000 else 8192
+            sorted_block_rows = (16384 if pv >= 4_000_000
+                                 and sorted_dtype != "bf16" else 8192)
         self._sorted_block_rows = int(sorted_block_rows)
         # sorted-mode authority storage dtype: "bf16" halves the streaming
         # floor (Adam math stays f32 in-kernel; weights+moments round to
