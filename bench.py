@@ -188,6 +188,8 @@ def _make_trainer(vocab, sparse, impl):
                           "SWR_SORTED_BLOCK_ROWS"])
                           if os.environ.get("SWR_SORTED_BLOCK_ROWS")
                           else None),   # None = trainer auto by table size
+                      sorted_chunk_ids=int(os.environ.get(
+                          "SWR_SORTED_CHUNK_IDS", 128)),
                       sorted_reorder=os.environ.get("SWR_SORTED_REORDER",
                                                     "gather"),
                       sorted_dtype=os.environ.get("SWR_SORTED_DTYPE") or None,

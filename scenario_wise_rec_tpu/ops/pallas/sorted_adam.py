@@ -89,23 +89,25 @@ def _kernel(rbp: int, precision: str,
             tbl_out, mu_out, nu_out, acc):
     """One (vocab block, id chunk) work item; see module docstring.
 
-    rv_ref ``[1, 1, 128]``: the chunk's packed row ids (``id // r``) —
+    rv_ref ``[1, 1, C]``: the chunk's packed row ids (``id // r``) —
     the leading unit dims satisfy Mosaic's block-shape divisibility rule
-    (a ``(1, 128)`` block of a ``[kc, 128]`` array would not).
-    g2_ref ``[128, 128]``: the chunk's lane-dispersed gradient rows.
+    (a ``(1, C)`` block of a ``[kc, C]`` array would not). ``C`` is the
+    chunk width (chunk_ids, default 128).
+    g2_ref ``[C, 128]``: the chunk's lane-dispersed gradient rows.
     tbl/mu/nu ``[rbp, 128]``: the block's packed param/moment tiles
     (revisited across the block's consecutive work items — Mosaic only
     refetches when the block index changes).
     """
     i = pl.program_id(0)
+    c = rv_ref.shape[-1]
 
     @pl.when(first_ref[i] == 1)
     def _():
         acc[...] = jnp.zeros_like(acc)
 
     base = wb_ref[i] * rbp
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rbp, 128), 0)
-    # one-hot [rbp, 128]: sublane hit iff this id's packed row is in-block
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rbp, c), 0)
+    # one-hot [rbp, C]: sublane hit iff this id's packed row is in-block
     eq = (rv_ref[0] - base) == iota
     # The one-hot segment-sum's precision is a measured 3-way tradeoff on
     # chip at the 467k/b4096 shape (all vs the exact XLA scatter-add ref):
@@ -278,6 +280,7 @@ def owner_sorted_grads(ids, g_rows, segments, offsets,
 
 def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
                             *, block_rows: int = 8192,
+                            chunk_ids: int = 128,
                             precision: str | None = None,
                             interpret: bool | None = None):
     """One fused dense-Adam pass (see module docstring).
@@ -298,6 +301,10 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         hp: ``[7]`` f32: lr, weight_decay, b1, b2, 1/(1-b1^t),
             1/(1-b2^t), eps.
         d: the logical row width D (not inferable from the packed shape).
+        chunk_ids: the id-chunk width C (multiple of 128). Wider chunks
+            shrink the work-item grid (W = K/C + nb) at the same total
+            MXU FLOPs — a per-work-item-overhead dial, measured on chip
+            (PROFILE.md SS5).
 
     Returns ``(new_table, new_mu, new_nu)`` packed, same shapes.
     """
@@ -322,10 +329,11 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
     assert block_rows % r == 0 and v2 % block_rows == 0, (block_rows, v2)
     nb = v2 // block_rows              # every block is real vocab
     assert nb >= 1, "need at least one vocab block"
+    assert chunk_ids % 128 == 0 and chunk_ids > 0, chunk_ids
     rbp = block_rows // r
 
     k = sorted_ids.shape[0]
-    kpad = (-k) % 128
+    kpad = (-k) % chunk_ids
     if kpad:
         # sentinel = v2: beyond every block's range. Real ids ABOVE v2 may
         # exist in the sharded path (later shards' rows) — the sentinel
@@ -334,7 +342,7 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         # monotone (everything past the in-range prefix is >= v2).
         sorted_ids = jnp.pad(sorted_ids, (0, kpad), constant_values=v2)
         g_sorted = jnp.pad(g_sorted, ((0, kpad), (0, 0)))
-    kc = (k + kpad) // 128
+    kc = (k + kpad) // chunk_ids
 
     # lane-dispersed grads: row k's D values at lane group (id % r) * D —
     # a one-hot einsum at HIGHEST precision (exact; its ~24 MFLOP are
@@ -350,15 +358,15 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         g2 = jnp.einsum("kr,kd->krd", oh.astype(g_sorted.dtype),
                         g_sorted, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST
-                        ).astype(g_sorted.dtype).reshape(kc * 128, 128)
+                        ).astype(g_sorted.dtype).reshape(kc * chunk_ids, 128)
     # one extra SENTINEL chunk (ids = v2, grads = 0) as the surplus work
     # items' target: guaranteed-no-match against every block, so the last
     # real block's accumulator survives surplus items untouched and its
     # emit simply moves to the final work item
-    g2 = jnp.concatenate([g2, jnp.zeros((128, 128), g2.dtype)])
+    g2 = jnp.concatenate([g2, jnp.zeros((chunk_ids, 128), g2.dtype)])
     rv = jnp.concatenate([(sorted_ids // r).astype(jnp.int32),
-                          jnp.full((128,), v2 // r, jnp.int32)]
-                         ).reshape(kc + 1, 1, 128)
+                          jnp.full((chunk_ids,), v2 // r, jnp.int32)]
+                         ).reshape(kc + 1, 1, chunk_ids)
 
     # work list: for each vocab block, the id chunks overlapping its span
     # (>= 1 even when empty, so dense decay reaches every block); surplus
@@ -366,8 +374,8 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
     # Static size W = kc + nb.
     bounds = jnp.arange(nb + 1, dtype=jnp.int32) * block_rows
     starts = jnp.searchsorted(sorted_ids, bounds).astype(jnp.int32)
-    c_lo = starts[:-1] // 128
-    c_hi = (starts[1:] + 127) // 128
+    c_lo = starts[:-1] // chunk_ids
+    c_hi = (starts[1:] + chunk_ids - 1) // chunk_ids
     ln = jnp.maximum(c_hi - c_lo, 1)
     cum = jnp.cumsum(ln)
     w = kc + nb
@@ -396,10 +404,10 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
             num_scalar_prefetch=5,
             grid=(w,),
             in_specs=[
-                pl.BlockSpec((1, 1, 128),
+                pl.BlockSpec((1, 1, chunk_ids),
                              lambda i, hp, wb, wc, f, e: (wc[i], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128),
+                pl.BlockSpec((chunk_ids, 128),
                              lambda i, hp, wb, wc, f, e: (wc[i], 0),
                              memory_space=pltpu.VMEM),
                 blk_spec(), blk_spec(), blk_spec(),
@@ -410,14 +418,16 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
         out_shape=[jax.ShapeDtypeStruct((v2 // r, 128), table.dtype)] * 3,
         # flattened inputs: (hp, wb, wc, first, emit, rv, g2, tbl, mu, nu)
         input_output_aliases={7: 0, 8: 1, 9: 2},
-        # ONLY huge blocks raise the scoped-VMEM budget (the 16 MB default
-        # compile-OOMs at block_rows 32768, measured 26.1 MB): the raise is
+        # ONLY configs that need it raise the scoped-VMEM budget (the
+        # 16 MB default compile-OOMs at block_rows 32768 — 26.1 MB — and
+        # at chunk_ids 256 with 16384-row blocks — 16.05 MB): the raise is
         # deliberately conditional because applying it unconditionally
         # coincided with a -25% primary-shape regression in one session
-        # (suspected allocator-strategy change at the default shapes)
+        # (suspected allocator-strategy change at the default shapes;
+        # the raised-limit PROD program measured identically)
         **({"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)}
-           if block_rows >= 32768 else {}),
+           if block_rows >= 32768 or chunk_ids > 128 else {}),
         interpret=interpret,
     )(hp, wb, wc, first, emit, rv, g2, table, mu, nu)
     return tuple(out)
@@ -426,6 +436,7 @@ def sorted_dense_adam_apply(table, mu, nu, sorted_ids, g_sorted, hp, d: int,
 def sorted_dense_adam_apply_sharded(mesh, table, mu, nu, ids, g_rows, hp,
                                     d: int, *, segments, offsets,
                                     block_rows: int = 8192,
+                                    chunk_ids: int = 128,
                                     reorder: str = "gather",
                                     precision: str | None = None,
                                     interpret: bool | None = None,
@@ -494,6 +505,6 @@ def sorted_dense_adam_apply_sharded(mesh, table, mu, nu, ids, g_rows, hp,
         local = sid - j * vl
         return sorted_dense_adam_apply(
             tbl_l, mu_l, nu_l, local, gs, hp_r, d, block_rows=block_rows,
-            precision=precision, interpret=interpret)
+            chunk_ids=chunk_ids, precision=precision, interpret=interpret)
 
     return upd(table, mu, nu, ids, g_rows, hp)

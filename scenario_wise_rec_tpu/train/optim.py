@@ -432,6 +432,7 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
                              b1: float = 0.9, b2: float = 0.999,
                              eps: float = 1e-8,
                              block_rows: int = 8192,
+                             chunk_ids: int = 128,
                              reorder: str = "gather",
                              precision: str | None = None,
                              use_pallas: bool | None = None,
@@ -513,14 +514,14 @@ def sorted_dense_adam_update(opt_state, g_rows, ids, segments, offsets,
         # interpret resolves from the MESH's platform inside the wrapper
         return _out(*sorted_dense_adam_apply_sharded(
             mesh, table, mu, nu, ids, g_rows, hp, d, segments=segments,
-            offsets=offsets, block_rows=block_rows, reorder=reorder,
-            precision=precision))
+            offsets=offsets, block_rows=block_rows, chunk_ids=chunk_ids,
+            reorder=reorder, precision=precision))
     interpret = jax.default_backend() != "tpu"
     sorted_ids, g_sorted = owner_sorted_grads(ids, g_rows, segments,
                                               offsets, reorder=reorder)
     return _out(*sorted_dense_adam_apply(
         table, mu, nu, sorted_ids, g_sorted, hp, d, block_rows=block_rows,
-        precision=precision, interpret=interpret))
+        chunk_ids=chunk_ids, precision=precision, interpret=interpret))
 
 
 def step_lr(step_size: int, gamma: float):

@@ -85,6 +85,7 @@ class CTRTrainer:
         prefetch_depth: int = 2,
         sorted_reorder: str = "gather",
         sorted_block_rows: Optional[int] = None,
+        sorted_chunk_ids: int = 128,
         sorted_dtype: Optional[str] = None,
         sorted_precision: Optional[str] = None,
         sorted_kernel: Optional[bool] = None,
@@ -160,6 +161,11 @@ class CTRTrainer:
             sorted_block_rows = (16384 if pv >= 4_000_000
                                  and sorted_dtype != "bf16" else 8192)
         self._sorted_block_rows = int(sorted_block_rows)
+        # id-chunk width of the sorted kernel's work items (multiple of
+        # 128): wider chunks shrink the work-item grid at constant MXU
+        # FLOPs — a per-item-overhead dial (ops/pallas/sorted_adam.py)
+        assert sorted_chunk_ids % 128 == 0, sorted_chunk_ids
+        self._sorted_chunk_ids = int(sorted_chunk_ids)
         # sorted-mode authority storage dtype: "bf16" halves the streaming
         # floor (Adam math stays f32 in-kernel; weights+moments round to
         # bf16 each step — documented parity-ledger deviation)
@@ -479,6 +485,7 @@ class CTRTrainer:
                     collection.offsets,
                     collection.packed_dim,
                     block_rows=self._sorted_block_rows,
+                    chunk_ids=self._sorted_chunk_ids,
                     reorder=self._sorted_reorder,
                     precision=self._sorted_precision,
                     use_pallas=self._sorted_kernel,

@@ -425,3 +425,26 @@ def test_checkpoint_elastic_resharding(tmp_path):
     _, o2, _, loss = tr2._train_step(tr2.params, tr2.opt_state, tr2.state,
                                      xs, ys, ws, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
+
+
+def test_kernel_chunk_ids_256_matches_ref():
+    """chunk_ids=256 (wider work items, half the grid) must be numerically
+    identical to the default 128-chunk kernel path."""
+    rng = np.random.default_rng(7)
+    d, block_rows = 8, 32
+    ids_np, segments, k = _make_batch(rng, [160, 160, 240, 96], c_hi=70)
+    ids = jnp.asarray(ids_np)
+    table0 = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    state = sorted_dense_adam_init(table0, block_rows=block_rows)
+    g = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+    hp = _hp(1)
+    sid, gs = owner_sorted_grads(ids, g, segments, OFFSETS)
+    out128 = sorted_dense_adam_apply(
+        state["table"], state["mu"], state["nu"], sid, gs, hp, d,
+        block_rows=block_rows, interpret=True)
+    out256 = sorted_dense_adam_apply(
+        state["table"], state["mu"], state["nu"], sid, gs, hp, d,
+        block_rows=block_rows, chunk_ids=256, interpret=True)
+    for a, b in zip(out256, out128):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
