@@ -148,3 +148,33 @@ def test_frozen_survives_fit(tmp_path):
         np.asarray(p["embedding"]["packed"][off:off + V0]), W_FROZEN)
     np.testing.assert_array_equal(
         np.asarray(p["embedding"]["tables"]["sl"]), W_LOOSE)
+
+
+def test_frozen_table_bit_identical_sorted_kernel_mesh():
+    """Pretrained(freeze=True) through the shard_map'd sorted kernel on a
+    4x2 mesh: the frozen packed span stays bit-identical (the packed-tile
+    frozen blend runs on the SPMD-sharded authority after the per-shard
+    kernel)."""
+    from scenario_wise_rec_tpu.parallel.mesh import make_mesh
+
+    model = MMOE(_feats(), 2, n_expert=2, expert_params={"dims": [16]},
+                 tower_params={"dims": [8]})
+    mesh = make_mesh(n_data=4, n_embed=2)
+    tr = CTRTrainer(model, seed=7, mesh=mesh, sparse_embedding_updates=True,
+                    sparse_update_impl="sorted", sorted_block_rows=64,
+                    sorted_kernel=True)
+    col = model.embedding
+    off = col.offsets["s0"]
+    x, y, w = _batch()
+    xs, ys, ws = tr._shard(x, y, w)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        tr.params, tr.opt_state, tr.state, loss = tr._train_step(
+            tr.params, tr.opt_state, tr.state, xs, ys, ws, k)
+    assert np.isfinite(float(loss))
+    p = tr._params_for_eval()
+    np.testing.assert_array_equal(
+        np.asarray(p["embedding"]["packed"])[off:off + V0], W_FROZEN)
+    np.testing.assert_array_equal(
+        np.asarray(p["embedding"]["tables"]["sl"]), W_LOOSE)
